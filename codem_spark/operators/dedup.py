@@ -1,0 +1,229 @@
+"""Deduplication family for web-scale training-data pipelines.
+
+No reference analog (CODEM is geometry-only) — these are the engine-new
+operators the 100 TB webtext use case demands. All hot paths are JVM column
+expressions (xxhash64 / transform / aggregate over arrays); the only
+shuffles are the final groupBys on hash keys, which AQE skew-splits.
+
+Scale notes:
+* exact: one hash-agg — map-side combine makes the shuffle one row per
+  distinct digest per partition.
+* minhash-LSH: signatures are computed scan-side (no shuffle); the only
+  shuffle is groupBy(band_key), whose fan-out is n_bands rows per doc;
+  candidate pairs then verify jaccard with a JVM array intersect.
+* simhash: 64-bit fingerprint scan-side; near-dup = equality on rotated
+  band keys (here: 4x16-bit bands via bit slicing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from codem_spark.functions.text import normalized_text_col
+
+# -------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text digest."""
+    d = df.withColumn("_digest", F.sha2(normalized_text_col(F.col(text_col)), 256))
+    w = Window.partitionBy("_digest").orderBy(F.col(id_col))
+    return d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop(
+        "_digest", "_rn"
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest -> group size + representative id (the SQL-checkable face of
+    exact dedup)."""
+    d = df.select(
+        F.col(id_col), F.sha2(normalized_text_col(F.col(text_col)), 256).alias("digest")
+    )
+    return d.groupBy("digest").agg(
+        F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+def shingles_col(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle hashes (xxhash64, JVM-side): distinct 64-bit
+    hashes of each n-word window of the normalized text."""
+    toks = F.split(normalized_text_col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return F.array_distinct(grams)
+
+
+# -------------------------------------------------------------- minhash LSH
+# Mersenne prime 2^31-1: (h mod p) * a + b stays under 2^61 — no int64
+# overflow, so the expression is safe under Spark 4's default ANSI mode.
+_MH_PRIME = (1 << 31) - 1
+
+
+def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    # deterministic LCG-derived coefficients (no RNG state dependency)
+    coeffs = []
+    s = seed
+    for _ in range(num_hashes):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s >> 16) % (1 << 30) | 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (s >> 16) % (1 << 30)
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-lane minhash signature: min over shingles of
+    (a * h + b) mod p per lane — pure array expressions, scan-side."""
+    lanes = []
+    for a, b in _mh_coeffs(num_hashes):
+        lane = F.array_min(
+            F.transform(
+                shingles,
+                lambda h: F.pmod(F.pmod(h, F.lit(_MH_PRIME)) * F.lit(a) + F.lit(b), F.lit(_MH_PRIME)),
+            )
+        )
+        lanes.append(lane)
+    return F.array(*lanes)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    Standard MinHash banding: docs sharing any full band collide."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("did"),
+        minhash_signature_col(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", bi * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
+                ).alias("bkey"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("did", F.explode(band_structs).alias("b")).select(
+        "did", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.did") < F.col("b.did")))
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (JVM array intersect/union).
+    pairs: (id_a, id_b)."""
+    sh = df.select(
+        F.col(id_col).alias("did"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({"did": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"did": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
+    higher id of each confirmed pair (greedy, deterministic)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, **kw)
+    dups = jaccard_verify(cands, df, text_col, id_col, threshold, kw.get("shingle_n", 3))
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ simhash
+def simhash_col(text_col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """64-bit SimHash: per token-shingle hash, each bit votes +1/-1; the
+    fingerprint is the sign vector. Expressed with aggregate() over the
+    shingle array per bit-plane — JVM-side, no Python."""
+    sh = shingles_col(text_col, shingle_n)
+    bit_cols = []
+    for bit in range(bits):
+        votes = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << bit).cast("long")
+            if bit < 63
+            else F.when(votes > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c  # bit-planes are disjoint: sum == bitwise OR
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates = equality on any 16-bit band of the simhash
+    (catches all pairs within Hamming distance 3 for 4 bands of 16)."""
+    d = df.select(F.col(id_col).alias("did"), simhash_col(F.col(text_col)).alias("sh"))
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bexpr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned("sh", bi * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = d.select("did", "sh", F.explode(bexpr).alias("b")).select(
+        "did", "sh", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.did") < F.col("b.did")))
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

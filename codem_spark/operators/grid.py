@@ -1,0 +1,307 @@
+"""Grid aggregation family — the engine's "GROUP BY" operators (SURVEY.md §2.3).
+
+Every operator here is a stock-Catalyst DataFrame plan: hash aggregation with
+map-side partial combine, pushed-down scans, no Python in the loop. At 100 TB
+these are single-shuffle jobs keyed by cell id; the DSM build is the
+row-reducing first stage the reference also leans on ("higher density data is
+resampled to match the lower", reference docs/details.md:12, early
+downsample main.py:595-612).
+
+Reference analogs:
+  G1 rasterize-max   — PDAL writers.gdal output_type=max, preprocess.py:667-675
+  G2 hexbin density  — filters.hexbin, preprocess.py:681-727
+  G3 rasterize-IDW   — apply.py:185-204, vcd/preprocessing/preprocess.py:313-320
+  G4 void infill     — GeoData._infill, preprocess.py:236-259
+  G5 quantize        — percentile clip + uint8, preprocess.py:278-283
+  G6 cluster sizes   — groupby.transform('count'), vcd/preprocessing/preprocess.py:253-256
+  G9 bounds          — bbox aggregation, preprocess.py:858-933
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from codem_spark.functions import cells
+
+Extent = tuple[float, float, float, float]
+
+
+def grid_max(
+    df: DataFrame,
+    extent: Extent,
+    resolution: float,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """G1: points -> DSM grid of max elevation at ``resolution`` (meters).
+
+    Output: (gx, gy, z) long-format raster — gx/gy are global pixel indices.
+    One shuffle (hash agg on ~rows/density keys), map-side combine makes the
+    shuffle payload one row per touched cell per input partition.
+    """
+    gx = F.floor((F.col(x) - F.lit(extent[0])) / F.lit(resolution)).cast("long")
+    gy = F.floor((F.col(y) - F.lit(extent[1])) / F.lit(resolution)).cast("long")
+    return (
+        df.select(gx.alias("gx"), gy.alias("gy"), F.col(z).alias("z"))
+        .groupBy("gx", "gy")
+        .agg(F.max("z").alias("z"))
+    )
+
+
+def grid_max_sql(points_sql: str, extent: Extent, resolution: float) -> str:
+    """DuckDB oracle twin of grid_max."""
+    return f"""
+    SELECT cast(floor((x - {extent[0]!r}) / {resolution!r}) as bigint) AS gx,
+           cast(floor((y - {extent[1]!r}) / {resolution!r}) as bigint) AS gy,
+           max(z) AS z
+    FROM ({points_sql})
+    GROUP BY 1, 2
+    """
+
+
+def grid_idw(
+    points: DataFrame,
+    extent: Extent,
+    resolution: float,
+    radius_cells: int = 1,
+    power: float = 2.0,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """G3: inverse-distance-weighted rasterization.
+
+    Each point contributes to every cell whose *center* lies within the
+    (2r+1)x(2r+1) neighborhood of the point's own cell — the halo-exchange
+    pattern: explode points into neighbor cells (bounded shuffle fan-out =
+    (2r+1)^2), then one hash agg of sum(w*z)/sum(w), w = 1/d^power with the
+    reference's convention that a point inside the cell at d<eps contributes
+    with weight capped at 1/eps^p.
+    """
+    eps = 1e-9
+    offs = [
+        (dx, dy)
+        for dx in range(-radius_cells, radius_cells + 1)
+        for dy in range(-radius_cells, radius_cells + 1)
+    ]
+    px = F.col(x)
+    py = F.col(y)
+    gx0 = F.floor((px - F.lit(extent[0])) / F.lit(resolution)).cast("long")
+    gy0 = F.floor((py - F.lit(extent[1])) / F.lit(resolution)).cast("long")
+    base = points.select(
+        px.alias("px"), py.alias("py"), F.col(z).alias("pz"), gx0.alias("gx0"), gy0.alias("gy0")
+    )
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    )
+    e = base.withColumn("_o", off)
+    gx = (F.col("gx0") + F.col("_o.dx")).alias("gx")
+    gy = (F.col("gy0") + F.col("_o.dy")).alias("gy")
+    cxc = (F.col("gx0") + F.col("_o.dx") + F.lit(0.5)) * F.lit(resolution) + F.lit(extent[0])
+    cyc = (F.col("gy0") + F.col("_o.dy") + F.lit(0.5)) * F.lit(resolution) + F.lit(extent[1])
+    d2 = (F.col("px") - cxc) * (F.col("px") - cxc) + (F.col("py") - cyc) * (F.col("py") - cyc)
+    w = F.lit(1.0) / F.pow(F.sqrt(d2) + F.lit(eps), F.lit(power))
+    return (
+        e.select(gx, gy, (w * F.col("pz")).alias("wz"), w.alias("w"))
+        .groupBy("gx", "gy")
+        .agg((F.sum("wz") / F.sum("w")).alias("z"))
+    )
+
+
+def grid_idw_sql(
+    points_sql: str, extent: Extent, resolution: float, radius_cells: int = 1, power: float = 2.0
+) -> str:
+    offs = [
+        (dx, dy)
+        for dx in range(-radius_cells, radius_cells + 1)
+        for dy in range(-radius_cells, radius_cells + 1)
+    ]
+    vals = ", ".join(f"({dx}, {dy})" for dx, dy in offs)
+    return f"""
+    WITH pts AS ({points_sql}),
+    base AS (
+      SELECT x AS px, y AS py, z AS pz,
+             cast(floor((x - {extent[0]!r}) / {resolution!r}) as bigint) AS gx0,
+             cast(floor((y - {extent[1]!r}) / {resolution!r}) as bigint) AS gy0
+      FROM pts
+    ),
+    ex AS (
+      SELECT base.*, o.dx, o.dy FROM base, (VALUES {vals}) AS o(dx, dy)
+    ),
+    wgt AS (
+      SELECT gx0 + dx AS gx, gy0 + dy AS gy, pz,
+             1.0 / pow(sqrt(pow(px - ((gx0 + dx + 0.5) * {resolution!r} + {extent[0]!r}), 2)
+                          + pow(py - ((gy0 + dy + 0.5) * {resolution!r} + {extent[1]!r}), 2)) + 1e-9,
+                       {power!r}) AS w
+      FROM ex
+    )
+    SELECT gx, gy, sum(w * pz) / sum(w) AS z FROM wgt GROUP BY gx, gy
+    """
+
+
+def density(df: DataFrame, extent: Extent, level: int, x: str = "x", y: str = "y") -> DataFrame:
+    """G2: per-cell point count — input to the average-spacing estimate."""
+    cell = cells.cell_encode_col(F.col(x), F.col(y), extent, level)
+    return df.select(cell.alias("cell_id")).groupBy("cell_id").agg(
+        F.count("*").alias("n_points")
+    )
+
+
+def estimate_resolution(
+    df: DataFrame, extent: Extent, level: int = 10, x: str = "x", y: str = "y"
+) -> float:
+    """S6: average point spacing ~ sqrt(cell_area / avg points per occupied
+    cell) — the reference estimates this with 25 m hexbins
+    (preprocess.py:681-727); one agg job here."""
+    size = cells.cell_size(extent, level)
+    row = (
+        density(df, extent, level, x, y)
+        .agg(F.avg("n_points").alias("avg_n"))
+        .collect()[0]
+    )
+    avg_n = row["avg_n"] or 1.0
+    return math.sqrt(size * size / avg_n)
+
+
+def bounds(df: DataFrame, x: str = "x", y: str = "y") -> tuple[float, float, float, float]:
+    """G9: dataset bbox (one agg job; drives clip windows / partition
+    pruning like reference clip_data preprocess.py:858-933)."""
+    r = df.agg(
+        F.min(x).alias("x0"), F.min(y).alias("y0"), F.max(x).alias("x1"), F.max(y).alias("y1")
+    ).collect()[0]
+    return (r["x0"], r["y0"], r["x1"], r["y1"])
+
+
+def bbox_overlap(
+    a: tuple[float, float, float, float],
+    b: tuple[float, float, float, float],
+    factor: float = 1.5,
+) -> tuple[float, float, float, float]:
+    """J6: overlap of two bboxes grown by ``factor`` about their centers
+    (reference computes a 1.5x-oversized clip window,
+    compute_clipped_bounds preprocess.py:936-968); raises if disjoint
+    (preprocess.py:915-916 errors on non-overlapping data)."""
+
+    def grow(bb):
+        cx, cy = (bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2
+        hw, hh = (bb[2] - bb[0]) / 2 * factor, (bb[3] - bb[1]) / 2 * factor
+        return (cx - hw, cy - hh, cx + hw, cy + hh)
+
+    ga, gb = grow(a), grow(b)
+    x0, y0 = max(ga[0], gb[0]), max(ga[1], gb[1])
+    x1, y1 = min(ga[2], gb[2]), min(ga[3], gb[3])
+    if x0 >= x1 or y0 >= y1:
+        raise ValueError("Foundation and AOI bounding boxes do not overlap.")
+    return (x0, y0, x1, y1)
+
+
+def clip_bbox(df: DataFrame, bbox: tuple[float, float, float, float], x: str = "x", y: str = "y") -> DataFrame:
+    """Clip to bbox — a pushed-down predicate; on a cell-partitioned table
+    this prunes partitions before the scan."""
+    return df.filter(
+        (F.col(x) >= bbox[0]) & (F.col(x) < bbox[2]) & (F.col(y) >= bbox[1]) & (F.col(y) < bbox[3])
+    )
+
+
+def quantize_normalize(
+    df: DataFrame, col: str = "z", lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = False
+) -> DataFrame:
+    """G5: percentile clip -> uint8 [1, 255] (0 reserved for nodata), the
+    reference's DSM normalization (preprocess.py:278-283: clip to 1st/99th
+    percentile then scale). approxQuantile for the 100 TB path; exact
+    percentile for oracle parity."""
+    if exact:
+        qs = df.agg(
+            F.expr(f"percentile({col}, {lo_q})").alias("lo"),
+            F.expr(f"percentile({col}, {hi_q})").alias("hi"),
+        ).collect()[0]
+        lo, hi = float(qs["lo"]), float(qs["hi"])
+    else:
+        lo, hi = df.approxQuantile(col, [lo_q, hi_q], 0.001)
+    rng = max(hi - lo, 1e-12)
+    clipped = F.least(F.lit(hi), F.greatest(F.lit(lo), F.col(col)))
+    q = (F.round((clipped - F.lit(lo)) / F.lit(rng) * F.lit(254.0)) + F.lit(1.0)).cast("int")
+    return df.withColumn(f"{col}_u8", q)
+
+
+def cluster_sizes(df: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
+    """G6: append per-cluster count as a column — window agg, the exact
+    semantics of pandas groupby.transform('count')
+    (vcd/preprocessing/preprocess.py:253-256)."""
+    w = Window.partitionBy(cluster_col)
+    return df.withColumn("cluster_size", F.count("*").over(w))
+
+
+def infill(
+    dsm: DataFrame,
+    extent: Extent,
+    resolution: float,
+    tile_level: int,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """G4: iterative void infill. The reference loops rasterio.fillnodata
+    until no nodata pixels remain (preprocess.py:236-259). Here: driver loop;
+    each round fills empty cells that have >=1 filled neighbor with the IDW
+    of their 8-neighborhood, via a self-join of the (sparse) DSM against
+    exploded neighbor offsets. Input/output: (gx, gy, z) with voids simply
+    *absent* (sparse representation — nulls never stored).
+
+    Termination: when a round fills nothing new, or max_rounds. Note at
+    scale: each round shuffles only the *frontier* (cells adjacent to voids),
+    not the full raster, because candidates are anti-joined against filled.
+    """
+    filled = dsm.select("gx", "gy", "z")
+    # The void set is implicit (sparse); we iterate by growing `filled`
+    # outward one ring at a time within the raster bbox.
+    b = filled.agg(
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"), F.min("gy").alias("y0"), F.max("gy").alias("y1")
+    ).collect()[0]
+    for _ in range(max_rounds):
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+        off = F.explode(
+            F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b_).alias("dy")) for a, b_ in offs])
+        )
+        cand = (
+            filled.withColumn("_o", off)
+            .select(
+                (F.col("gx") + F.col("_o.dx")).alias("gx"),
+                (F.col("gy") + F.col("_o.dy")).alias("gy"),
+                F.col("z").alias("nz"),
+                (F.col("_o.dx") * F.col("_o.dx") + F.col("_o.dy") * F.col("_o.dy"))
+                .cast("double")
+                .alias("d2"),
+            )
+            .filter(
+                (F.col("gx") >= b["x0"]) & (F.col("gx") <= b["x1"])
+                & (F.col("gy") >= b["y0"]) & (F.col("gy") <= b["y1"])
+            )
+        )
+        new = (
+            cand.join(filled.select("gx", "gy"), ["gx", "gy"], "left_anti")
+            .groupBy("gx", "gy")
+            .agg((F.sum(F.col("nz") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2"))).alias("z"))
+        )
+        n_new = new.count()
+        if n_new == 0:
+            break
+        filled = filled.unionByName(new).localCheckpoint(eager=True)
+    return filled
+
+
+def dsm_to_points(
+    dsm: DataFrame, extent: Extent, resolution: float, area_or_point: str = "Area"
+) -> DataFrame:
+    """Raster -> point cloud at cell centers (the reference's _dsm2pc,
+    preprocess.py:285-315, incl. the half-pixel AREA_OR_POINT shift
+    preprocess.py:304-306: Area-tagged rasters shift +0.5 px so the sample
+    point is the cell center; Point-tagged are already centered)."""
+    shift = 0.5 if area_or_point.lower() == "area" else 0.0
+    x = (F.col("gx").cast("double") + F.lit(shift)) * F.lit(resolution) + F.lit(extent[0])
+    y = (F.col("gy").cast("double") + F.lit(shift)) * F.lit(resolution) + F.lit(extent[1])
+    return dsm.select(x.alias("x"), y.alias("y"), F.col("z"))

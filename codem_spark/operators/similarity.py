@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine-new operators for the training-data tier: brute-force cosine top-k as
+the correctness baseline, and an LSH-bucketed (random-hyperplane) variant as
+the 100 TB scale path — the same adaptive brute-force/LSH switch the
+reference applies to descriptor matching (dsm.py:175-187: BF under 2^17
+rows, LSH above).
+
+Dot products run through ``F.aggregate``/``F.zip_with`` (JVM, codegen) for
+the SQL-checkable path; batch matmul in a pandas UDF is used by the bulk
+(all-pairs) variant where the quadratic term dominates and BLAS wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b) + F.lit(1e-30))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int = 10,
+    qid: str = "vec_id",
+    did: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast-join all pairs (query side small or
+    chunked), rank with a window. Deterministic: ties break by data id.
+    Output: (q_id, d_id, cos_sim, rank)."""
+    q = queries.select(F.col(qid).alias("q_id"), F.col(vec).alias("q_vec"))
+    d = data.select(F.col(did).alias("d_id"), F.col(vec).alias("d_vec"))
+    pairs = q.join(F.broadcast(d), F.col("q_id") != F.col("d_id"))
+    sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
+    return (
+        pairs.select("q_id", "d_id", F.round(sim, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_matmul(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int = 10,
+    qid: str = "vec_id",
+    did: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via per-partition BLAS matmul against a broadcast,
+    pre-normalized data matrix — the throughput path when data fits in one
+    broadcast (same role as the reference's brute-force Hamming matmul,
+    dsm.py:185-187). Queries stream through mapInPandas in Arrow batches."""
+    d_pdf = data.select(did, vec).toPandas()
+    d_ids = d_pdf[did].to_numpy()
+    dmat = np.vstack(d_pdf[vec].to_numpy()).astype(np.float64)
+    dmat /= np.linalg.norm(dmat, axis=1, keepdims=True) + 1e-30
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((d_ids, dmat))
+
+    def batches(it):
+        d_ids_, dmat_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qmat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            qmat /= np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-30
+            sims = qmat @ dmat_.T  # (Q, D)
+            qids_ = pdf[qid].to_numpy()
+            same = qids_[:, None] == d_ids_[None, :]
+            sims[same] = -np.inf
+            kk = min(k, sims.shape[1] - 1)
+            cand = min(sims.shape[1], kk + 8)
+            part = np.argpartition(-sims, cand - 1, axis=1)[:, :cand]
+            rows = np.arange(len(qmat))[:, None]
+            simc = sims[rows, part]
+            order = np.lexsort((d_ids_[part], -simc), axis=1)[:, :kk]
+            sel = part[rows[:, :kk], order]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(qids_, kk),
+                    "d_id": d_ids_[sel].ravel(),
+                    "cos_sim": np.round(sims[rows[:, :kk], sel].ravel(), 6),
+                    "rank": np.tile(np.arange(1, kk + 1), len(qmat)),
+                }
+            )
+
+    qt = {f.name: f.dataType.simpleString() for f in queries.schema.fields}[qid]
+    return queries.select(qid, vec).mapInPandas(
+        batches, schema=f"q_id {qt}, d_id {qt}, cos_sim double, rank int"
+    )
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 16, seed: int = 13) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of n_planes fixed
+    (deterministically generated) hyperplanes — a JVM expression: each plane
+    is a literal array; dot via zip_with/aggregate; bits packed into a long."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        d = dot_col(vec, plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    data: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    qid: str = "vec_id",
+    did: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane signature, join on
+    bucket equality (shuffle keyed by bucket — the IVF-style scale path),
+    rank within the joined candidates. Recall grows with fewer planes."""
+    qb = queries.select(
+        F.col(qid).alias("q_id"), F.col(vec).alias("q_vec"),
+        lsh_bucket_col(F.col(vec), dim, n_planes).alias("bucket"),
+    )
+    db = data.select(
+        F.col(did).alias("d_id"), F.col(vec).alias("d_vec"),
+        lsh_bucket_col(F.col(vec), dim, n_planes).alias("bucket"),
+    )
+    pairs = qb.join(db, "bucket").filter(F.col("q_id") != F.col("d_id"))
+    sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
+    return (
+        pairs.select("q_id", "d_id", F.round(sim, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,69 @@
+"""Dedup family: exact vs DuckDB sha256; minhash/simhash find planted dups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codem_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dup_groups_vs_duckdb(spark, duck):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = dedup.exact_dup_groups(docs).toPandas().sort_values("digest").reset_index(drop=True)
+    exp = duck.sql(
+        f"""SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+               count(*) AS n_dups, min(doc_id) AS keep_id
+        FROM '{SF}/documents.parquet' GROUP BY 1 ORDER BY digest"""
+    ).df()
+    assert len(got) == len(exp)
+    assert (got.digest.values == exp.digest.values).all()
+    assert (got.n_dups.values == exp.n_dups.values).all()
+    assert (got.keep_id.values == exp.keep_id.values).all()
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # plant near-duplicates: copy each doc with one word appended
+    dups = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    alld = docs.select("doc_id", "text").unionByName(dups)
+    pairs = dedup.minhash_lsh_candidates(alld, num_hashes=64, bands=16).toPandas()
+    verified = dedup.jaccard_verify(
+        spark.createDataFrame(pairs), alld, threshold=0.5
+    ).toPandas()
+    planted = set(zip(verified.id_a, verified.id_b))
+    found = sum(1 for i in range(50) if any(a == i and b == i + 100_000 for a, b in planted))
+    assert found >= 45  # LSH recall on ~1.0-jaccard pairs is near-total
+
+
+def test_minhash_dedup_drops_planted(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30).select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    alld = docs.unionByName(dups)
+    kept = dedup.minhash_dedup(alld, threshold=0.9)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every planted copy (higher id of an identical pair) must be dropped
+    assert not any(i >= 100_000 for i in kept_ids)
+    # originals survive unless they are genuine near-dups of a smaller
+    # original already in the driver data (e.g. docs 8 and 12 at sf0.001
+    # have jaccard ~0.97 — the engine correctly drops the higher id)
+    genuine = dedup.jaccard_verify(
+        dedup.minhash_lsh_candidates(docs), docs, threshold=0.9
+    ).toPandas()
+    genuinely_dropped = set(genuine.id_b)
+    orig_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids == orig_ids - genuinely_dropped
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20).select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    alld = docs.unionByName(dups)
+    cands = dedup.simhash_candidates(alld).toPandas()
+    ident = cands[(cands.id_b - cands.id_a) == 100_000]
+    assert (ident.hamming == 0).all()
+    assert len(ident) >= 15

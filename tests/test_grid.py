@@ -1,0 +1,109 @@
+"""Grid aggregation family vs DuckDB / pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from codem_spark import synth
+from codem_spark.operators import grid
+from tests.conftest import EXTENT
+
+
+def test_grid_max_vs_duckdb(spark, duck):
+    pc = synth.point_cloud(spark, 5000)
+    got = (
+        grid.grid_max(pc, EXTENT, 1000.0)
+        .toPandas()
+        .sort_values(["gx", "gy"])
+        .reset_index(drop=True)
+    )
+    pdf = pc.select("x", "y", "z").toPandas()
+    duck.register("pts_gm", pdf)
+    exp = duck.sql(grid.grid_max_sql("SELECT * FROM pts_gm", EXTENT, 1000.0) + " ORDER BY gx, gy").df()
+    assert len(got) == len(exp)
+    assert (got.gx.values == exp.gx.values).all()
+    assert np.allclose(got.z.values, exp.z.values, atol=1e-12)
+
+
+def test_grid_idw_vs_duckdb(spark, duck):
+    pc = synth.point_cloud(spark, 2000)
+    got = (
+        grid.grid_idw(pc, EXTENT, 2000.0, radius_cells=1)
+        .toPandas()
+        .sort_values(["gx", "gy"])
+        .reset_index(drop=True)
+    )
+    pdf = pc.select("x", "y", "z").toPandas()
+    duck.register("pts_idw", pdf)
+    exp = (
+        duck.sql(grid.grid_idw_sql("SELECT * FROM pts_idw", EXTENT, 2000.0, 1) + " ORDER BY gx, gy")
+        .df()
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got.z.values, exp.z.values, rtol=1e-9)
+
+
+def test_density_and_resolution(spark):
+    pc = synth.point_cloud(spark, 10000)
+    res = grid.estimate_resolution(pc, EXTENT, level=6)
+    # 10k points over 100km x 100km -> ~1km spacing
+    assert 500 < res < 2000
+
+
+def test_bounds_and_bbox(spark):
+    pc = synth.point_cloud(spark, 1000)
+    b = grid.bounds(pc)
+    assert b[0] >= 0 and b[2] <= 100_000
+    ov = grid.bbox_overlap((0, 0, 10, 10), (5, 5, 20, 20))
+    assert ov[0] < ov[2] and ov[1] < ov[3]
+    with pytest.raises(ValueError):
+        grid.bbox_overlap((0, 0, 1, 1), (100, 100, 101, 101))
+
+
+def test_clip_bbox_pushdown(spark):
+    pc = synth.point_cloud(spark, 2000)
+    clipped = grid.clip_bbox(pc, (10_000, 10_000, 50_000, 50_000))
+    pdf = clipped.select("x", "y").toPandas()
+    assert ((pdf.x >= 10_000) & (pdf.x < 50_000)).all()
+    # filter must appear in the physical plan (pushed toward the scan)
+    plan = clipped._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan or "filter" in plan
+
+
+def test_quantize_normalize(spark):
+    pc = synth.point_cloud(spark, 3000)
+    q = grid.quantize_normalize(pc, "z", exact=True).select("z_u8").toPandas()
+    assert q.z_u8.between(1, 255).all()
+    assert q.z_u8.nunique() > 100  # spread across the range
+
+
+def test_cluster_sizes_window(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "pid long, cluster_id int"
+    )
+    got = grid.cluster_sizes(df).toPandas()
+    assert (got.cluster_size == 10).all()
+
+
+def test_infill_fills_all_interior_voids(spark):
+    # 10x10 grid with a 2x2 hole: infill must fill it with neighbor IDW
+    rows = [(gx, gy, float(gx + gy)) for gx in range(10) for gy in range(10)
+            if not (4 <= gx <= 5 and 4 <= gy <= 5)]
+    dsm = spark.createDataFrame(rows, "gx long, gy long, z double")
+    filled = grid.infill(dsm, (0, 0, 10, 10), 1.0, tile_level=2)
+    pdf = filled.toPandas()
+    assert len(pdf) == 100
+    hole = pdf[(pdf.gx.between(4, 5)) & (pdf.gy.between(4, 5))]
+    exp = hole.gx + hole.gy
+    assert np.allclose(hole.z.values, exp.values, atol=1.0)
+
+
+def test_dsm_to_points_area_point_shift(spark):
+    dsm = spark.createDataFrame([(2, 3, 7.0)], "gx long, gy long, z double")
+    a = grid.dsm_to_points(dsm, (0, 0, 10, 10), 1.0, "Area").collect()[0]
+    p = grid.dsm_to_points(dsm, (0, 0, 10, 10), 1.0, "Point").collect()[0]
+    # reference semantics (preprocess.py:304-306): Area shifts +0.5 px
+    assert a["x"] - p["x"] == pytest.approx(0.5)
+    assert a["y"] - p["y"] == pytest.approx(0.5)

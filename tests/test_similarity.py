@@ -1,0 +1,39 @@
+"""Similarity search: brute-force SQL path == matmul path; LSH recall."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bruteforce_equals_matmul(spark):
+    from codem_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(40)
+    a = (
+        similarity.cosine_topk_bruteforce(q, emb, k=5)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.cosine_topk_matmul(q, emb, k=5)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (a.d_id.values == b.d_id.values).all()
+    assert (abs(a.cos_sim.values - b.cos_sim.values) < 1e-5).all()
+
+
+def test_lsh_recall_reasonable(spark):
+    from codem_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(40)
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=1).toPandas()
+    approx = similarity.cosine_topk_lsh(q, emb, dim=64, k=1, n_planes=4).toPandas()
+    exact_nn = dict(zip(exact[exact["rank"] == 1].q_id, exact[exact["rank"] == 1].d_id))
+    appr_nn = dict(zip(approx[approx["rank"] == 1].q_id, approx[approx["rank"] == 1].d_id))
+    hits = sum(1 for k_, v in exact_nn.items() if appr_nn.get(k_) == v)
+    assert hits / len(exact_nn) > 0.3  # few planes -> moderate recall, sanity only
