@@ -127,23 +127,43 @@ def cosine_topk_lsh(
     data: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     qid: str = "vec_id",
     did: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket both sides by hyperplane signature, join on
-    bucket equality (shuffle keyed by bucket — the IVF-style scale path),
-    rank within the joined candidates. Recall grows with fewer planes."""
-    qb = queries.select(
-        F.col(qid).alias("q_id"), F.col(vec).alias("q_vec"),
-        lsh_bucket_col(F.col(vec), dim, n_planes).alias("bucket"),
+    """Approximate top-k: multi-table random-hyperplane LSH. Both sides are
+    bucketed under ``n_tables`` independent plane sets; candidates = union of
+    per-table bucket collisions (the shuffle is keyed by (table, bucket) —
+    the IVF-style 100 TB path); exact cosine re-rank on the candidates.
+    Recall rises with n_tables, cost with n_tables / 2^n_planes."""
+    def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        tbl = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_col(F.col(vec), dim, n_planes, seed=13 + 101 * t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        )
+        return df.select(
+            F.col(qid if id_alias == "q_id" else did).alias(id_alias),
+            F.col(vec).alias(vec_alias),
+            tbl.alias("tb"),
+        ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    qb = bucketize(queries, "q_id", "q_vec")
+    db = bucketize(data, "d_id", "d_vec")
+    pairs = (
+        qb.join(db, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("d_id"))
+        .select("q_id", "q_vec", "d_id", "d_vec")
+        .dropDuplicates(["q_id", "d_id"])
     )
-    db = data.select(
-        F.col(did).alias("d_id"), F.col(vec).alias("d_vec"),
-        lsh_bucket_col(F.col(vec), dim, n_planes).alias("bucket"),
-    )
-    pairs = qb.join(db, "bucket").filter(F.col("q_id") != F.col("d_id"))
     sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
     return (

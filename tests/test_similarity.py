@@ -32,8 +32,8 @@ def test_lsh_recall_reasonable(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.limit(40)
     exact = similarity.cosine_topk_bruteforce(q, emb, k=1).toPandas()
-    approx = similarity.cosine_topk_lsh(q, emb, dim=64, k=1, n_planes=4).toPandas()
+    approx = similarity.cosine_topk_lsh(q, emb, dim=64, k=1, n_planes=6, n_tables=12).toPandas()
     exact_nn = dict(zip(exact[exact["rank"] == 1].q_id, exact[exact["rank"] == 1].d_id))
     appr_nn = dict(zip(approx[approx["rank"] == 1].q_id, approx[approx["rank"] == 1].d_id))
     hits = sum(1 for k_, v in exact_nn.items() if appr_nn.get(k_) == v)
-    assert hits / len(exact_nn) > 0.3  # few planes -> moderate recall, sanity only
+    assert hits / len(exact_nn) > 0.5  # multi-table LSH recall on random vectors
