@@ -1,0 +1,203 @@
+"""Coarse registration: descriptor match + RANSAC similarity solve.
+
+Reference analog: DsmRegistration (dsm.py:95-138): _get_kp -> _get_putative
+(k=2 Hamming kNN + Lowe ratio, dsm.py:165-200) -> _filter_putative (RANSAC
+over 3D pairs, threshold 10 m, <=10^4 trials, dsm.py:232-257) -> umeyama
+closed-form similarity (dsm.py:523-592, Umeyama 1991 Eq. 38-43) -> RMSE
+(dsm.py:386-402).
+
+Engine design: the keypoint tables are small relative to the input (max
+hundreds per tile), so the match is a broadcast kNN: the smaller descriptor
+set is broadcast, the larger streams through ``mapInPandas`` computing
+vectorized 256-bit Hamming distances (XOR + popcount over 4 int64 lanes) —
+the same brute-force-vs-LSH capacity tradeoff the reference makes at 2^17
+descriptors (dsm.py:175-183) applies: above that, switch to the banded-LSH
+join in operators/dedup.py. RANSAC runs on the driver over the (tiny)
+putative-match table with a seeded generator — deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codem_spark.config import EngineConfig, RegistrationParameters
+from codem_spark.functions.geo import decompose_similarity
+
+_POP = np.array([bin(i).count("1") for i in range(65536)], dtype=np.int64)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    v = a.view(np.uint64)
+    out = np.zeros(a.shape, dtype=np.int64)
+    for s in (0, 16, 32, 48):
+        out += _POP[((v >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+def match_features(
+    fnd_kp: DataFrame,
+    aoi_kp: DataFrame,
+    lowes_ratio: float = 0.9,
+) -> pd.DataFrame:
+    """k=2 Hamming kNN of AOI descriptors against broadcast foundation
+    descriptors + Lowe ratio filter (reference dsm.py:185-197). Returns the
+    putative-match pair table as pandas (small by construction):
+    columns fx, fy, fz, ax, ay, az, dist."""
+    fnd = fnd_kp.select("x", "y", "z", "d0", "d1", "d2", "d3").toPandas()
+    fdesc = fnd[["d0", "d1", "d2", "d3"]].to_numpy(np.int64)
+    fxyz = fnd[["x", "y", "z"]].to_numpy(np.float64)
+    sc = aoi_kp.sparkSession.sparkContext
+    bc = sc.broadcast((fdesc, fxyz))
+
+    def batches(it):
+        fdesc_, fxyz_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            adesc = pdf[["d0", "d1", "d2", "d3"]].to_numpy(np.int64)
+            # Hamming distance matrix via XOR + popcount, lane by lane
+            d = np.zeros((len(adesc), len(fdesc_)), dtype=np.int64)
+            for lane in range(4):
+                x = adesc[:, lane : lane + 1] ^ fdesc_[None, :, lane]
+                d += _popcount64(x)
+            if d.shape[1] < 2:
+                continue
+            p2 = np.argpartition(d, 1, axis=1)[:, :2]
+            rows = np.arange(len(adesc))
+            d2v = d[rows[:, None], p2]
+            swap = d2v[:, 0] > d2v[:, 1]
+            p2[swap] = p2[swap][:, ::-1]
+            d2v[swap] = d2v[swap][:, ::-1]
+            keep = d2v[:, 0] < lowes_ratio * d2v[:, 1]
+            best = p2[keep, 0]
+            out = pd.DataFrame(
+                {
+                    "fx": fxyz_[best, 0],
+                    "fy": fxyz_[best, 1],
+                    "fz": fxyz_[best, 2],
+                    "ax": pdf["x"].to_numpy()[keep],
+                    "ay": pdf["y"].to_numpy()[keep],
+                    "az": pdf["z"].to_numpy()[keep],
+                    "dist": d2v[keep, 0].astype(np.float64),
+                }
+            )
+            yield out
+
+    schema = "fx double, fy double, fz double, ax double, ay double, az double, dist double"
+    return aoi_kp.select("x", "y", "z", "d0", "d1", "d2", "d3").mapInPandas(
+        batches, schema=schema
+    ).toPandas()
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray, solve_scale: bool = True) -> np.ndarray:
+    """Closed-form least-squares similarity transform src -> dst
+    (Umeyama 1991, Eq. 38-43 — same formulation the reference implements at
+    dsm.py:523-592). Returns a 4x4 homogeneous matrix."""
+    n, m = src.shape
+    mu_src = src.mean(axis=0)
+    mu_dst = dst.mean(axis=0)
+    ds = dst - mu_dst
+    ss = src - mu_src
+    cov = ds.T @ ss / n
+    u, s, vt = np.linalg.svd(cov)
+    d = np.ones(m)
+    if np.linalg.det(cov) < 0 or (np.linalg.matrix_rank(cov) == m - 1 and np.linalg.det(u) * np.linalg.det(vt) < 0):
+        d[m - 1] = -1
+    r = u @ np.diag(d) @ vt
+    if solve_scale:
+        var_src = ss.var(axis=0).sum()
+        c = (s * d).sum() / max(var_src, 1e-300)
+    else:
+        c = 1.0
+    t = mu_dst - c * r @ mu_src
+    m4 = np.eye(4)
+    m4[:3, :3] = c * r
+    m4[:3, 3] = t
+    return m4
+
+
+def ransac_similarity(
+    pairs: pd.DataFrame,
+    threshold: float = 10.0,
+    max_iter: int = 10000,
+    min_samples: int = 3,
+    solve_scale: bool = True,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Max-consensus similarity fit over putative pairs (reference
+    dsm.py:232-257; residual threshold 10 m, <=10^4 trials, 3-point
+    samples). Deterministic (seeded). Returns (4x4 matrix, inlier mask)."""
+    src = pairs[["ax", "ay", "az"]].to_numpy(np.float64)
+    dst = pairs[["fx", "fy", "fz"]].to_numpy(np.float64)
+    n = len(src)
+    if n < min_samples:
+        raise ValueError(f"not enough putative matches for RANSAC: {n}")
+    rng = np.random.default_rng(seed)
+    best_inliers: np.ndarray | None = None
+    best_count = -1
+    trials = min(max_iter, 4 * n * n if n < 50 else max_iter)
+    samples = rng.integers(0, n, size=(trials, min_samples))
+    for si in range(trials):
+        idx = samples[si]
+        if len(np.unique(idx)) < min_samples:
+            continue
+        try:
+            m = umeyama(src[idx], dst[idx], solve_scale)
+        except np.linalg.LinAlgError:
+            continue
+        res = np.linalg.norm(src @ m[:3, :3].T + m[:3, 3] - dst, axis=1)
+        inl = res < threshold
+        cnt = int(inl.sum())
+        if cnt > best_count:
+            best_count = cnt
+            best_inliers = inl
+    if best_inliers is None or best_count < min_samples:
+        raise ValueError("RANSAC failed to find a consensus set")
+    m = umeyama(src[best_inliers], dst[best_inliers], solve_scale)
+    # one refinement pass on the refit inliers (standard; reference's
+    # skimage ransac does the same internally)
+    res = np.linalg.norm(src @ m[:3, :3].T + m[:3, 3] - dst, axis=1)
+    inl = res < threshold
+    if inl.sum() >= min_samples:
+        m = umeyama(src[inl], dst[inl], solve_scale)
+        best_inliers = inl
+    return m, best_inliers
+
+
+def coarse_registration(
+    fnd_kp: DataFrame,
+    aoi_kp: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> RegistrationParameters:
+    """Full coarse stage: match -> RANSAC -> umeyama -> RMSE record
+    (the reference's registration.txt fields, dsm.py:404-432)."""
+    cfg = cfg or EngineConfig()
+    pairs = match_features(fnd_kp, aoi_kp, cfg.dsm_lowes_ratio)
+    m, inl = ransac_similarity(
+        pairs,
+        threshold=cfg.dsm_ransac_threshold,
+        max_iter=cfg.dsm_ransac_max_iter,
+        solve_scale=cfg.dsm_solve_scale,
+    )
+    src = pairs[["ax", "ay", "az"]].to_numpy(np.float64)[inl]
+    dst = pairs[["fx", "fy", "fz"]].to_numpy(np.float64)[inl]
+    res = src @ m[:3, :3].T + m[:3, 3] - dst
+    dec = decompose_similarity(m)
+    return RegistrationParameters(
+        matrix=m.tolist(),
+        omega=dec["omega"],
+        phi=dec["phi"],
+        kappa=dec["kappa"],
+        trans_x=dec["trans_x"],
+        trans_y=dec["trans_y"],
+        trans_z=dec["trans_z"],
+        scale=dec["scale"],
+        n_pairs=int(inl.sum()),
+        rmse_x=float(np.sqrt((res[:, 0] ** 2).mean())),
+        rmse_y=float(np.sqrt((res[:, 1] ** 2).mean())),
+        rmse_z=float(np.sqrt((res[:, 2] ** 2).mean())),
+        rmse_3d=float(np.sqrt((res**2).sum(axis=1).mean())),
+    )

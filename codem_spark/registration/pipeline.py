@@ -1,0 +1,144 @@
+"""End-to-end registration pipeline — the library API of the engine.
+
+Mirrors the reference's public surface (src/codem/__init__.py:1-9:
+preprocess, coarse_registration, fine_registration, apply_registration,
+driven by the pytest suite at tests/test_registration.py:79-115) so the
+reference flow has a 1:1 counterpart:
+
+    prep   = preprocess(spark, fnd_points, aoi_points, extent, cfg)
+    coarse = coarse_registration(prep, cfg)
+    fine   = fine_registration_stage(prep, coarse, cfg)
+    out    = apply_registration(aoi_points, fine)
+
+Stage boundaries are job boundaries; each stage's result can be persisted
+with io/lineage.py for checkpoint-resume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codem_spark.config import EngineConfig, RegistrationParameters
+from codem_spark.functions.geo import apply_transform_cols
+from codem_spark.operators import grid
+from codem_spark.registration import coarse as coarse_mod
+from codem_spark.registration import features
+from codem_spark.registration import icp as icp_mod
+
+Extent = tuple[float, float, float, float]
+
+
+@dataclass
+class PreprocessResult:
+    fnd_points: DataFrame
+    aoi_points: DataFrame
+    fnd_dsm: DataFrame  # (gx, gy, z, z_u8)
+    aoi_dsm: DataFrame
+    extent: Extent
+    resolution: float
+
+
+def _prep_dsm(points: DataFrame, extent: Extent, resolution: float) -> DataFrame:
+    """points -> infilled, normalized DSM tile table (the reference's
+    GeoData.prep: _infill -> _normalize, preprocess.py:360-373)."""
+    dsm = grid.grid_max(points, extent, resolution)
+    filled = grid.infill(dsm, extent, resolution, tile_level=8)
+    return grid.quantize_normalize(filled, "z", exact=False)
+
+
+def estimate_pipeline_resolution(
+    fnd: DataFrame, aoi: DataFrame, extent: Extent, cfg: EngineConfig
+) -> float:
+    """Resolution negotiation (reference main.py:595-607): pipeline res =
+    max(fnd native res, aoi native res, MIN_RESOLUTION) — 'higher density
+    data is resampled to match the lower' (docs/details.md:12)."""
+    rf = grid.estimate_resolution(fnd, extent)
+    ra = grid.estimate_resolution(aoi, extent)
+    return max(rf, ra, cfg.min_resolution)
+
+
+def preprocess(
+    fnd_points: DataFrame,
+    aoi_points: DataFrame,
+    extent: Extent | None = None,
+    cfg: EngineConfig | None = None,
+    resolution: float | None = None,
+) -> PreprocessResult:
+    cfg = cfg or EngineConfig()
+    if extent is None:
+        bf = grid.bounds(fnd_points)
+        ba = grid.bounds(aoi_points)
+        joint = grid.bbox_overlap(bf, ba, factor=1.5)
+        # clip both to the 1.5x overlap window (reference clip_data
+        # preprocess.py:858-933 / TIGHT_SEARCH) — partition pruning at scale
+        fnd_points = grid.clip_bbox(fnd_points, joint)
+        aoi_points = grid.clip_bbox(aoi_points, joint)
+        extent = joint
+    if resolution is None:
+        resolution = estimate_pipeline_resolution(fnd_points, aoi_points, extent, cfg)
+    resolution = max(resolution, cfg.min_resolution)
+    fnd_dsm = _prep_dsm(fnd_points, extent, resolution).persist()
+    aoi_dsm = _prep_dsm(aoi_points, extent, resolution).persist()
+    return PreprocessResult(fnd_points, aoi_points, fnd_dsm, aoi_dsm, extent, resolution)
+
+
+def coarse_registration(
+    prep: PreprocessResult, cfg: EngineConfig | None = None
+) -> RegistrationParameters:
+    cfg = cfg or EngineConfig()
+    fnd_kp = features.extract_features(prep.fnd_dsm, prep.extent, prep.resolution)
+    aoi_kp = features.extract_features(prep.aoi_dsm, prep.extent, prep.resolution)
+    return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg)
+
+
+def fine_registration_stage(
+    prep: PreprocessResult,
+    coarse_params: RegistrationParameters,
+    cfg: EngineConfig | None = None,
+) -> RegistrationParameters:
+    cfg = cfg or EngineConfig()
+    initial = np.array(coarse_params.matrix, dtype=np.float64)
+    fnd = prep.fnd_points.select(
+        F.monotonically_increasing_id().alias("pid"), "x", "y", "z"
+    ) if "pid" not in prep.fnd_points.columns else prep.fnd_points.select("pid", "x", "y", "z")
+    aoi = prep.aoi_points.select(
+        F.monotonically_increasing_id().alias("pid"), "x", "y", "z"
+    ) if "pid" not in prep.aoi_points.columns else prep.aoi_points.select("pid", "x", "y", "z")
+    # kNN bound from the coarse RMSE, exactly as the reference bounds the
+    # ICP search (icp.py:75,133-135)
+    bound = max(coarse_params.rmse_3d, prep.resolution)
+    return icp_mod.fine_registration(
+        fnd, aoi, prep.extent, prep.resolution, cfg, initial=initial, knn_radius=bound
+    )
+
+
+def apply_registration(
+    aoi_points: DataFrame, params: RegistrationParameters
+) -> DataFrame:
+    """Apply the final transform to the ORIGINAL AOI table (the reference
+    re-reads the raw AOI and pipes it through the matrix, apply.py:137-146;
+    here it is a pure column-expression job over the full table)."""
+    m = np.array(params.matrix, dtype=np.float64)
+    return apply_transform_cols(aoi_points, m)
+
+
+def register(
+    fnd_points: DataFrame,
+    aoi_points: DataFrame,
+    extent: Extent | None = None,
+    cfg: EngineConfig | None = None,
+    resolution: float | None = None,
+) -> tuple[RegistrationParameters, RegistrationParameters, DataFrame]:
+    """Full pipeline: returns (coarse, fine, registered AOI DataFrame)."""
+    cfg = cfg or EngineConfig()
+    prep = preprocess(fnd_points, aoi_points, extent, cfg, resolution)
+    c = coarse_registration(prep, cfg)
+    f = fine_registration_stage(prep, c, cfg)
+    out = apply_registration(aoi_points, f)
+    prep.fnd_dsm.unpersist()
+    prep.aoi_dsm.unpersist()
+    return c, f, out
