@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the J3-style nearest-neighbor dZ
+spatial join over two lineitem-derived point clouds) at sf0.001.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(+ the training-data tier); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one. Column names and rounding are aligned on
+both sides (the driver hash-compares values).
 """
 
 from __future__ import annotations
@@ -12,27 +13,512 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXTENT = (0.0, 0.0, 100_000.0, 100_000.0)
+PIP_RING = [(20000.0, 20000.0), (80000.0, 25000.0), (70000.0, 75000.0), (30000.0, 70000.0)]
+KNN_RADIUS = 20_000.0
 
 
+# ---------------------------------------------------------------- helpers
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic point cloud derived from the driver's lineitem table
+    (pid = l_orderkey*8 + l_linenumber; x/y/z from arithmetic id-lanes that
+    DuckDB reproduces exactly — no trig, no hash)."""
+    from codem_spark.functions import geo
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pid")
+    # (l_orderkey, l_linenumber) is not unique in the driver data — dedupe
+    # so pid is a key (x/y/z are pure functions of pid)
+    df = li.select(pid).distinct()
+    x0, y0, x1, y1 = EXTENT
+    return (
+        df.withColumn("x", F.lit(x0) + geo.id_lane_col(F.col("pid"), 0) * F.lit(x1 - x0))
+        .withColumn("y", F.lit(y0) + geo.id_lane_col(F.col("pid"), 1) * F.lit(y1 - y0))
+        .withColumn("z", geo.id_lane_col(F.col("pid"), 2) * F.lit(100.0))
+    )
+
+
+def _points_sql() -> str:
+    from codem_spark.functions.geo import id_lane_sql
+
+    x0, y0, x1, y1 = EXTENT
+    pid = "(l_orderkey * 8 + l_linenumber)"
+    return f"""
+    SELECT pid,
+           {x0!r} + ({id_lane_sql('pid', 0)}) * {x1 - x0!r} AS x,
+           {y0!r} + ({id_lane_sql('pid', 1)}) * {y1 - y0!r} AS y,
+           ({id_lane_sql('pid', 2)}) * 100.0 AS z
+    FROM (SELECT DISTINCT {pid} AS pid FROM lineitem)
+    """
+
+
+# ---------------------------------------------------------------- queries
+def _q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.functions import cells
+
+    pts = _points(spark, sf_dir)
+    cell = cells.cell_encode_col(F.col("x"), F.col("y"), EXTENT, 10)
+    return (
+        pts.select(cell.alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_grid_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    out = grid.grid_max(pts, EXTENT, 2000.0)
+    return out.select("gx", "gy", F.round("z", 6).alias("z_max"))
+
+
+def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 16 == 1)
+    out = grid.grid_idw(pts, EXTENT, 5000.0, radius_cells=1)
+    return out.select("gx", "gy", F.round("z", 6).alias("z_idw"))
+
+
+def _q_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    return grid.density(pts, EXTENT, 6)
+
+
+def _q_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return pts.agg(
+        F.round(F.min("x"), 6).alias("x0"),
+        F.round(F.min("y"), 6).alias("y0"),
+        F.round(F.max("x"), 6).alias("x1"),
+        F.round(F.max("y"), 6).alias("y1"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    out = grid.clip_bbox(pts, (25_000.0, 25_000.0, 75_000.0, 75_000.0))
+    return out.select("pid")
+
+
+def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import pip
+
+    pts = _points(spark, sf_dir)
+    return pip.clip_to_polygon(pts, PIP_RING).select("pid")
+
+
+def _q_knn_dz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: J3-style nearest-neighbor dZ join (VCD compute_indexes,
+    reference vcd/preprocessing/preprocess.py:196-199) between two derived
+    clouds, tile+halo kNN with completeness escalation."""
+    from codem_spark.operators import knn
+
+    pts = _points(spark, sf_dir)
+    # NB: pid = l_orderkey*8 + l_linenumber with l_linenumber in 1..7, so
+    # pid % 8 is never 0 — pick residues that actually occur
+    a = pts.filter(F.col("pid") % 40 == 1)
+    b = pts.filter(F.col("pid") % 40 == 2)
+    j = knn.knn_join_complete(
+        a, b, EXTENT, radius=KNN_RADIUS, lid="pid", rid="pid",
+        l_carry=("z",), r_carry=("z",),
+    )
+    return j.select(
+        "pid", "n_pid", F.round(F.col("l_z") - F.col("r_z"), 6).alias("dz")
+    )
+
+
+def _q_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("user_id").alias("cluster_id")
+    )
+    return grid.cluster_sizes(ev).select("event_id", "cluster_size")
+
+
+def _q_union_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type").isin(["click", "view"]) & (F.col("value") > 50.0))
+    b = ev.filter(~F.col("event_type").isin(["click"]) & (F.col("value") <= 10.0))
+    return a.select("event_id").unionByName(b.select("event_id")).distinct()
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dup_groups(docs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs among the first 100 docs (unhashed
+    variant — SQL-oracled; the minhash/simhash paths are rows-only)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("w"),
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size(F.array_union("wa", "wb")).cast("double")
+    jac = F.round(inter / union, 6)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", text.token_count_col(F.col("text")).alias("n_tokens"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 50)
+    out = similarity.cosine_topk_bruteforce(q, emb, k=3)
+    return out.select("q_id", "d_id", "rank")
+
+
+def _q_idw_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/raster<->vector: IDW interpolation of the derived cloud at query
+    points — the cogroup tile kernel cross-checked against a windowed SQL
+    top-k IDW."""
+    from codem_spark.functions import geo
+    from codem_spark.operators import resample
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 16 == 1)
+    x0, y0, x1, y1 = EXTENT
+    qs = spark.range(0, 200).select(
+        F.col("id").alias("pid"),
+        (F.lit(x0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 0) * F.lit((x1 - x0) - 10000.0)).alias("x"),
+        (F.lit(y0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 1) * F.lit((y1 - y0) - 10000.0)).alias("y"),
+    )
+    out = resample.resample_to_points(pts, qs, EXTENT, radius=8000.0, method="idw", k=8)
+    return out.select("pid", F.round("z", 5).alias("z_interp"))
+
+
+def _q_tpch_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    return grid.quantize_normalize(pts, "z", exact=True).select("pid", "z_u8")
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    return dedup.jaccard_verify(cands, docs, threshold=0.7)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 8)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.cosine_topk_lsh(q, emb, dim=64, k=3, n_planes=6, n_tables=8)
+
+
+def _q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extraction invariant as a query: synthesize pages,
+    extract, return per-lang counts of exact matches (all must match)."""
+    from codem_spark import synth
+    from codem_spark.functions import text
+
+    pg = synth.pages(spark, 2000)
+    return (
+        pg.withColumn("ok", (text.extract_text_col(F.col("html")) == F.col("text")).cast("int"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("ok").alias("n_ok"))
+    )
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codem_spark.functions import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        text.lang_id_col(F.col("text")).alias("lang_pred"),
+        text.quality_score_col(F.col("text")).alias("quality"),
+        text.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 Euclidean clustering over a dense subsample of the derived cloud."""
+    from codem_spark.operators import cluster
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 0).withColumn(
+        "z", F.lit(0.0)
+    )
+    return cluster.euclidean_cluster(pts, EXTENT, tolerance=600.0, min_points=5)
+
+
+def _q_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse registration demo: recover a known 90-degree + translate
+    perturbation; returns the one-row transform record."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.config import EngineConfig
+    from codem_spark.functions.geo import similarity_matrix
+    from codem_spark.registration import pipeline as P
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    ext = (0.0, 0.0, 1000.0, 1000.0)
+    fx = rng.uniform(0, 1000, n)
+    fy = rng.uniform(0, 1000, n)
+    gx = np.floor(fx / 80).astype(np.int64)
+    gy = np.floor(fy / 80).astype(np.int64)
+    inside = ((fx - gx * 80) > 25) & ((fx - gx * 80) < 55) & ((fy - gy * 80) > 25) & ((fy - gy * 80) < 55)
+    h = ((gx * 73856093 + gy * 19349663) % 97) / 97.0 * 18 + 4
+    fz = (
+        10 * np.sin(fx * 2 * np.pi / 700 + 0.3) * np.cos(fy * 2 * np.pi / 900 - 1.7)
+        + np.where(inside, h, 0.0)
+        + 50.0
+    )
+    m = (fx > 200) & (fx < 800) & (fy > 200) & (fy < 800)
+    t = np.eye(4)
+    t[:3, 3] = (500.0, 500.0, 0.0)
+    ti = np.eye(4)
+    ti[:3, 3] = (-500.0, -500.0, 0.0)
+    shift = np.eye(4)
+    shift[:3, 3] = (40.0, 25.0, 2.0)
+    M = shift @ t @ similarity_matrix(1.0, 0, 0, 90.0) @ ti
+    A = np.column_stack([fx[m], fy[m], fz[m], np.ones(m.sum())]) @ M.T
+    fnd = spark.createDataFrame(pd.DataFrame({"pid": np.arange(n), "x": fx, "y": fy, "z": fz}))
+    aoi = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(int(m.sum())), "x": A[:, 0], "y": A[:, 1], "z": A[:, 2]})
+    )
+    cfg = EngineConfig(min_resolution=4.0)
+    prep = P.preprocess(fnd, aoi, extent=ext, cfg=cfg, resolution=4.0)
+    c = P.coarse_registration(prep, cfg)
+    prep.fnd_dsm.unpersist()
+    prep.aoi_dsm.unpersist()
+    rec = {k: [float(v)] if not isinstance(v, (int, list)) else [v] for k, v in c.to_dict().items() if k != "matrix"}
+    return spark.createDataFrame(pd.DataFrame(rec))
+
+
+# ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_knn_dz(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_encode": _q_cell_encode,
+        "grid_max": _q_grid_max,
+        "grid_idw": _q_grid_idw,
+        "density": _q_density,
+        "bounds": _q_bounds,
+        "bbox_clip": _q_bbox_clip,
+        "pip": _q_pip,
+        "knn_dz": _q_knn_dz,
+        "window_count": _q_window_count,
+        "union_filters": _q_union_filters,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_count": _q_token_count,
+        "cosine_topk": _q_cosine_topk,
+        "idw_resample": _q_idw_resample,
+        "tpch_grid_agg": _q_tpch_grid_agg,
+        "quantize": _q_quantize,
+        # rows-only (non-SQL-expressible: hashed sketches / iterative solvers)
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "lsh_topk": _q_lsh_topk,
+        "text_extract": _q_text_extract,
+        "lang_quality": _q_lang_quality,
+        "euclidean_cluster": _q_cluster,
+        "coarse_registration": _q_registration,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from codem_spark.functions import cells
+    from codem_spark.operators import grid, pip
+
+    pts = _points_sql()
+    ring = PIP_RING
+    x0, y0, x1, y1 = EXTENT
+
+    cell10 = cells.cell_encode_sql("x", "y", EXTENT, 10)
+    cell6 = cells.cell_encode_sql("x", "y", EXTENT, 6)
+    return {
+        "cell_encode": f"SELECT {cell10} AS cell_id, count(*) AS n FROM ({pts}) GROUP BY 1",
+        "grid_max": f"""
+            SELECT gx, gy, round(z, 6) AS z_max FROM (
+              {grid.grid_max_sql(pts, EXTENT, 2000.0)}
+            )""",
+        "grid_idw": f"""
+            SELECT gx, gy, round(z, 6) AS z_idw FROM (
+              {grid.grid_idw_sql(f"SELECT * FROM ({pts}) WHERE pid % 16 = 1", EXTENT, 5000.0, 1)}
+            )""",
+        "density": f"SELECT {cell6} AS cell_id, count(*) AS n_points FROM ({pts}) GROUP BY 1",
+        "bounds": f"""
+            SELECT round(min(x), 6) AS x0, round(min(y), 6) AS y0,
+                   round(max(x), 6) AS x1, round(max(y), 6) AS y1, count(*) AS n
+            FROM ({pts})""",
+        "bbox_clip": f"""
+            SELECT pid FROM ({pts})
+            WHERE x >= 25000.0 AND x < 75000.0 AND y >= 25000.0 AND y < 75000.0""",
+        "pip": f"""
+            SELECT pid FROM ({pts})
+            WHERE x >= {min(p[0] for p in ring)!r} AND x <= {max(p[0] for p in ring)!r}
+              AND y >= {min(p[1] for p in ring)!r} AND y <= {max(p[1] for p in ring)!r}
+              AND {pip.point_in_polygon_sql('x', 'y', ring)}""",
+        "knn_dz": f"""
+            WITH pts AS ({pts}),
+            a AS (SELECT * FROM pts WHERE pid % 40 = 1),
+            b AS (SELECT * FROM pts WHERE pid % 40 = 2),
+            pairs AS (
+              SELECT a.pid, b.pid AS n_pid,
+                     ((a.x-b.x)*(a.x-b.x) + ((a.y-b.y)*(a.y-b.y))) + ((a.z-b.z)*(a.z-b.z)) AS d2,
+                     a.z - b.z AS dz
+              FROM a, b
+            ),
+            ranked AS (
+              SELECT pid, n_pid, dz, row_number() OVER (PARTITION BY pid ORDER BY d2, n_pid) AS rn
+              FROM pairs
+            )
+            SELECT pid, n_pid, round(dz, 6) AS dz FROM ranked WHERE rn = 1""",
+        "window_count": """
+            SELECT event_id, count(*) OVER (PARTITION BY user_id) AS cluster_size
+            FROM events""",
+        "union_filters": """
+            SELECT DISTINCT event_id FROM (
+              SELECT event_id FROM events WHERE event_type IN ('click','view') AND value > 50.0
+              UNION ALL
+              SELECT event_id FROM events WHERE event_type NOT IN ('click') AND value <= 10.0
+            )""",
+        "exact_dedup": """
+            SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+                   count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1""",
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS ws
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.ws, b.ws))::double
+                         / len(list_distinct(list_concat(a.ws, b.ws)))::double, 6) AS jaccard
+            FROM w a, w b
+            WHERE a.doc_id < b.doc_id
+              AND round(len(list_intersect(a.ws, b.ws))::double
+                        / len(list_distinct(list_concat(a.ws, b.ws)))::double, 6) >= 0.5""",
+        "token_count": """
+            SELECT doc_id, case when trim(text) = '' then 0
+                   else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tokens
+            FROM documents""",
+        "cosine_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+                     list_dot_product(q.embedding::DOUBLE[], d.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) + 1e-30) AS sim
+              FROM embeddings q, embeddings d
+              WHERE q.vec_id < 50 AND q.vec_id != d.vec_id
+            ),
+            ranked AS (
+              SELECT q_id, d_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, d_id) AS rank
+              FROM pairs
+            )
+            SELECT q_id, d_id, rank FROM ranked WHERE rank <= 3""",
+        "idw_resample": _idw_resample_oracle_sql(),
+        "tpch_grid_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2""",
+        "quantize": _quantize_oracle_sql(),
+    }
+
+
+def _idw_resample_oracle_sql() -> str:
+    from codem_spark.functions.geo import id_lane_sql
+
+    pts = _points_sql()
+    x0, y0, x1, y1 = EXTENT
+    qx = f"{x0 + 5000.0!r} + ({id_lane_sql('(id + 7)', 0)}) * {(x1 - x0) - 10000.0!r}"
+    qy = f"{y0 + 5000.0!r} + ({id_lane_sql('(id + 7)', 1)}) * {(y1 - y0) - 10000.0!r}"
+    return f"""
+    WITH samples AS (SELECT * FROM ({pts}) WHERE pid % 16 = 1),
+    queries AS (SELECT range AS id, {qx} AS x, {qy} AS y FROM range(0, 200)),
+    pairs AS (
+      SELECT q.id AS pid, s.z,
+             sqrt((q.x-s.x)*(q.x-s.x) + (q.y-s.y)*(q.y-s.y)) AS d
+      FROM queries q, samples s
+      WHERE (q.x-s.x)*(q.x-s.x) + (q.y-s.y)*(q.y-s.y) <= 8000.0*8000.0
+    ),
+    ranked AS (
+      SELECT pid, z, d, row_number() OVER (PARTITION BY pid ORDER BY d) AS rn FROM pairs
+    ),
+    knn AS (SELECT * FROM ranked WHERE rn <= 8),
+    agg AS (
+      SELECT pid, sum(z / pow(d + 1e-9, 2.0)) / sum(1.0 / pow(d + 1e-9, 2.0)) AS z
+      FROM knn GROUP BY pid
+    ),
+    allq AS (
+      SELECT q.id AS pid, coalesce(a.z, -9999.0) AS z
+      FROM queries q LEFT JOIN agg a ON q.id = a.pid
+    )
+    SELECT pid, round(z, 5) AS z_interp FROM allq
     """
-    return {}
+
+
+def _quantize_oracle_sql() -> str:
+    pts = _points_sql()
+    return f"""
+    WITH pts AS ({pts}),
+    q AS (SELECT quantile_cont(z, 0.01) AS lo, quantile_cont(z, 0.99) AS hi FROM pts)
+    SELECT pid,
+           cast(round((least(hi, greatest(lo, z)) - lo) / greatest(hi - lo, 1e-12) * 254.0) + 1.0 as int) AS z_u8
+    FROM pts, q
+    """
