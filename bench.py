@@ -1,0 +1,81 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: rows (total input rows touched), rows_per_sec (the BASELINE.md
+throughput figure), cpus. Run scripts/scaling.py for the N-vs-4N
+scaling-efficiency evidence (same job at local[8] and local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entry
+    from codem_spark.session import get_spark
+
+    spark = get_spark(app_name="codem_spark_bench", cpus=cpus, shuffle_partitions=2 * cpus)
+
+    qs = entry.queries()
+    # headline set: the scale-relevant operators (flagship join first)
+    names = [
+        "knn_dz",
+        "cell_encode",
+        "grid_max",
+        "grid_idw",
+        "density",
+        "pip",
+        "window_count",
+        "exact_dedup",
+        "minhash_lsh",
+        "simhash",
+        "cosine_topk",
+        "idw_resample",
+        "quantize",
+        "tpch_grid_agg",
+        "coarse_registration",
+    ]
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows_touched = 0
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        rows_touched += n
+    total = round(time.time() - t_all, 3)
+
+    n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    sf = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
+        os.path.basename(os.path.normpath(sf_dir)), None
+    )
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "input_rows": n_input,
+        "output_rows": rows_touched,
+        "rows_per_sec": round(n_input * len(names) / max(total, 1e-9), 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

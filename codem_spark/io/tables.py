@@ -1,0 +1,91 @@
+"""Table I/O — Parquet with an Iceberg-style manifest.
+
+The north rule targets Iceberg tables; this container has no
+iceberg-spark-runtime jar, so all I/O goes through this one module
+(SURVEY.md §7 M0 decision): partitioned Parquet plus a ``_table_manifest.json``
+carrying what Iceberg table properties would carry — schema, partition spec,
+snapshot row counts, and the geospatial properties the data model requires
+(crs, resolution_m, units_factor, area_or_point — reference preprocess.py:
+140-148,195-203). Swapping in real Iceberg later = reimplementing these
+four functions against ``spark.read.format("iceberg")``; callers don't
+change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_table_manifest.json"
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    properties: dict[str, Any] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, Any]:
+    """Write a partitioned Parquet table + manifest; returns the manifest."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    # per-partition (file-group) metrics for lineage
+    back = df.sparkSession.read.parquet(path)
+    n = back.count()
+    manifest = {
+        "format": "parquet",
+        "path": path,
+        "schema": back.schema.jsonValue(),
+        "partition_by": partition_by or [],
+        "row_count": n,
+        "properties": properties or {},
+        "written_at": time.time(),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def table_manifest(path: str) -> dict[str, Any] | None:
+    p = os.path.join(path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def table_exists(path: str) -> bool:
+    return table_manifest(path) is not None
+
+
+def cell_partitioned_write(
+    df: DataFrame,
+    path: str,
+    extent: tuple[float, float, float, float],
+    level: int = 6,
+    x: str = "x",
+    y: str = "y",
+    properties: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Write a point table partitioned by coarse cell prefix — the analog of
+    Iceberg partitioning on cell_id that makes bbox clips partition-pruned
+    scans (SURVEY.md §4 'windowed reads')."""
+    from codem_spark.functions import cells
+
+    out = cells.with_cell(df, x, y, extent, level).drop("_ix", "_iy").withColumnRenamed(
+        "cell_id", "part_cell"
+    )
+    props = dict(properties or {})
+    props.update({"cell_level": level, "extent": list(extent)})
+    return write_table(out, path, partition_by=["part_cell"], properties=props)

@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,17 +78,37 @@ def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 def minhash_signature_col(shingles: Column, num_hashes: int = 64) -> Column:
     """num_hashes-lane minhash signature: min over shingles of
-    (a * h + b) mod p per lane — pure array expressions, scan-side."""
-    lanes = []
-    for a, b in _mh_coeffs(num_hashes):
-        lane = F.array_min(
-            F.transform(
-                shingles,
-                lambda h: F.pmod(F.pmod(h, F.lit(_MH_PRIME)) * F.lit(a) + F.lit(b), F.lit(_MH_PRIME)),
-            )
-        )
-        lanes.append(lane)
-    return F.array(*lanes)
+    (a * h + b) mod p per lane.
+
+    Implemented as ONE Arrow-vectorized pandas UDF over the shingle array
+    (flatten batch -> (N, num_hashes) modular products -> per-row
+    minimum.reduceat): a 64-lane JVM expression tree is ~50x slower here and
+    the UDF is still scan-side (no shuffle), deterministic arithmetic."""
+    coeffs = _mh_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig(s: pd.Series) -> pd.Series:
+        lens = s.map(len).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.Series([[int(_MH_PRIME)] * num_hashes for _ in range(len(s))])
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
+        hp = flat % _MH_PRIME
+        prod = (hp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_PRIME  # (N, H)
+        starts = np.zeros(len(s), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # rows with zero shingles would corrupt reduceat; guard with sentinel
+        safe = lens > 0
+        out = np.full((len(s), num_hashes), _MH_PRIME, dtype=np.int64)
+        if safe.all():
+            out = np.minimum.reduceat(prod, starts, axis=0)
+        else:
+            red = np.minimum.reduceat(prod, starts[safe], axis=0)
+            out[safe] = red
+        return pd.Series(list(out))
+
+    return sig(shingles)
 
 
 def minhash_lsh_candidates(
@@ -171,29 +193,35 @@ def minhash_dedup(
 # ------------------------------------------------------------------ simhash
 def simhash_col(text_col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     """64-bit SimHash: per token-shingle hash, each bit votes +1/-1; the
-    fingerprint is the sign vector. Expressed with aggregate() over the
-    shingle array per bit-plane — JVM-side, no Python."""
+    fingerprint is the sign vector. One Arrow-vectorized pandas UDF over the
+    shingle array (batch-flattened bit unpack + add.reduceat) — scan-side,
+    deterministic; shingle hashes themselves stay JVM-side (xxhash64)."""
     sh = shingles_col(text_col, shingle_n)
-    bit_cols = []
-    for bit in range(bits):
-        votes = F.aggregate(
-            sh,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(1 << bit).cast("long")
-            if bit < 63
-            else F.when(votes > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c  # bit-planes are disjoint: sum == bitwise OR
-    return out
+
+    @F.pandas_udf("long")
+    def simhash(s: pd.Series) -> pd.Series:
+        lens = s.map(len).to_numpy(np.int64)
+        n = len(s)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s]).view(np.uint64)
+        # (N, 64) bit matrix -> +/-1 votes
+        shifts = np.arange(bits, dtype=np.uint64)
+        votes = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        safe = lens > 0
+        tot = np.zeros((n, bits), dtype=np.int64)
+        if safe.all():
+            tot = np.add.reduceat(votes, starts, axis=0)
+        else:
+            tot[safe] = np.add.reduceat(votes, starts[safe], axis=0)
+        bitsm = (tot > 0).astype(np.uint64)
+        weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
+        packed = (bitsm * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return simhash(sh)
 
 
 def simhash_candidates(

@@ -1,0 +1,50 @@
+"""Lineage manifests + checkpoint-resume semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codem_spark.io import lineage, tables
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    m = tables.write_table(df, str(tmp_path / "t1"), properties={"crs": "synthetic-utm"})
+    assert m["row_count"] == 100
+    back = tables.read_table(spark, str(tmp_path / "t1"))
+    assert back.count() == 100
+    assert tables.table_manifest(str(tmp_path / "t1"))["properties"]["crs"] == "synthetic-utm"
+
+
+def test_cell_partitioned_write_prunes(spark, tmp_path):
+    from codem_spark import synth
+
+    pc = synth.point_cloud(spark, 2000)
+    ext = (0.0, 0.0, 100_000.0, 100_000.0)
+    tables.cell_partitioned_write(pc, str(tmp_path / "pts"), ext, level=3)
+    back = tables.read_table(spark, str(tmp_path / "pts"))
+    assert back.count() == 2000
+    # partition column present -> a part_cell predicate prunes at scan
+    one = back.filter(F.col("part_cell") == back.select("part_cell").first()[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_run_stage_resume_skips_recompute(spark, tmp_path):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50).withColumn("v", F.lit(1))
+
+    run_dir = str(tmp_path / "run")
+    a = lineage.run_stage(spark, run_dir, "s1", build, input_fingerprint="f1")
+    assert a.count() == 50 and calls["n"] == 1
+    b = lineage.run_stage(spark, run_dir, "s1", build, input_fingerprint="f1")
+    assert b.count() == 50 and calls["n"] == 1  # resumed, not recomputed
+    c = lineage.run_stage(spark, run_dir, "s1", build, input_fingerprint="f2")
+    assert c.count() == 50 and calls["n"] == 2  # fingerprint changed -> rerun
+    ms = lineage.run_manifest(run_dir)
+    assert ms and ms[-1]["row_count"] == 50
+    assert ms[-1]["n_partitions"] >= 1
+    assert sum(p["rows"] for p in ms[-1]["partition_metrics"]) == 50
