@@ -31,7 +31,9 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pid")
     # (l_orderkey, l_linenumber) is not unique in the driver data — dedupe
     # so pid is a key (x/y/z are pure functions of pid)
-    df = li.select(pid).distinct()
+    from codem_spark.util import rebalance
+
+    df = rebalance(li.select(pid).distinct())
     x0, y0, x1, y1 = EXTENT
     return (
         df.withColumn("x", F.lit(x0) + geo.id_lane_col(F.col("pid"), 0) * F.lit(x1 - x0))

@@ -104,7 +104,7 @@ def euclidean_cluster(
 ) -> DataFrame:
     """points(pid, x, y, z) -> (pid, cluster_id); cluster_id = min pid of the
     cluster, or -1 for clusters smaller than min_points."""
-    level = knn.level_for_radius(extent, tolerance)
+    level = knn.auto_level(extent, tolerance, points.count())
     tiled = cells.with_cell(points.select("pid", "x", "y", "z"), "x", "y", extent, level)
     local = (
         tiled.drop("_ix", "_iy")

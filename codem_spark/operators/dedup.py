@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from codem_spark.functions.text import normalized_text_col
+from codem_spark.util import rebalance
 
 # -------------------------------------------------------------- exact dedup
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -37,7 +38,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Digest -> group size + representative id (the SQL-checkable face of
     exact dedup)."""
-    d = df.select(
+    d = rebalance(df).select(
         F.col(id_col), F.sha2(normalized_text_col(F.col(text_col)), 256).alias("digest")
     )
     return d.groupBy("digest").agg(
@@ -111,6 +112,45 @@ def minhash_signature_col(shingles: Column, num_hashes: int = 64) -> Column:
     return sig(shingles)
 
 
+def minhash_band_keys_col(
+    shingles: Column, num_hashes: int = 64, bands: int = 16
+) -> Column:
+    """Banded-LSH keys in ONE pandas UDF: minhash signature (as above) then
+    an FNV-1a fold of each band's lanes -> array<long> of ``bands`` keys.
+    Folding the band hash into the same Arrow pass avoids a 64-element_at
+    JVM expression tree that measured ~0.8 ms/row."""
+    coeffs = _mh_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    rpb = num_hashes // bands
+    fnv_offset = np.uint64(1469598103934665603)
+    fnv_prime = np.uint64(1099511628211)
+
+    @F.pandas_udf("array<long>")
+    def bkeys(s: pd.Series) -> pd.Series:
+        n = len(s)
+        lens = s.map(len).to_numpy(np.int64)
+        sigm = np.full((n, num_hashes), _MH_PRIME, dtype=np.int64)
+        if lens.sum() > 0:
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
+            hp = flat % _MH_PRIME
+            prod = (hp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_PRIME
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            safe = lens > 0
+            if safe.all():
+                sigm = np.minimum.reduceat(prod, starts, axis=0)
+            else:
+                sigm[safe] = np.minimum.reduceat(prod, starts[safe], axis=0)
+        sig3 = sigm.reshape(n, bands, rpb).astype(np.uint64)
+        h = np.full((n, bands), fnv_offset, dtype=np.uint64)
+        for r in range(rpb):
+            h = (h ^ sig3[:, :, r]) * fnv_prime
+        return pd.Series(list(h.view(np.int64)))
+
+    return bkeys(shingles)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -121,25 +161,16 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
     Standard MinHash banding: docs sharing any full band collide."""
-    rows_per_band = num_hashes // bands
-    sig = df.select(
+    df = rebalance(df)
+    keys = df.select(
         F.col(id_col).alias("did"),
-        minhash_signature_col(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        minhash_band_keys_col(
+            shingles_col(F.col(text_col), shingle_n), num_hashes, bands
+        ).alias("bkeys"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", bi * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
-                ).alias("bkey"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select("did", F.explode(band_structs).alias("b")).select(
-        "did", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    banded = keys.select(
+        "did", F.posexplode("bkeys").alias("band", "bkey")
+    ).persist()  # self-joined below: persist so the signature UDF runs once
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -160,9 +191,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (JVM array intersect/union).
     pairs: (id_a, id_b)."""
-    sh = df.select(
+    sh = rebalance(df).select(
         F.col(id_col).alias("did"), shingles_col(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()  # joined on both pair sides
     j = (
         pairs.join(sh.withColumnsRenamed({"did": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"did": "id_b", "sh": "sh_b"}), "id_b")
@@ -229,6 +260,7 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates = equality on any 16-bit band of the simhash
     (catches all pairs within Hamming distance 3 for 4 bands of 16)."""
+    df = rebalance(df)
     d = df.select(F.col(id_col).alias("did"), simhash_col(F.col(text_col)).alias("sh"))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1

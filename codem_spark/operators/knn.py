@@ -44,6 +44,140 @@ def level_for_radius(extent: Extent, radius: float, max_level: int = 16) -> int:
     return max(1, min(max_level, level))
 
 
+def auto_level(
+    extent: Extent,
+    radius: float,
+    n_rows: int | None,
+    target_per_tile: int = 1500,
+    max_level: int = 16,
+) -> int:
+    """Tile level for a kNN/radius join: bounded above by the radius rule
+    (cell edge >= radius so a 1-ring halo provably covers the search ball)
+    AND by the data size (≈target_per_tile rows per tile).
+
+    The count bound matters: a level chosen from radius alone can produce
+    far more tiles than rows, and per-tile kernel overhead (one Arrow batch
+    + pandas invocation per cogroup key) then dominates (observed 37 s vs
+    ~2 s on an 18k-point join). Coarser tiles are always CORRECT — cell
+    edge only grows past the radius bound — they just trade per-tile
+    vectorized work for fewer invocations.
+    """
+    lr = level_for_radius(extent, radius, max_level)
+    if not n_rows or n_rows <= 0:
+        return lr
+    lc = max(1, int(0.5 * math.log2(max(n_rows / target_per_tile, 1.0))))
+    return min(lr, lc)
+
+
+_EMPTY = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.float64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def grid_topk(
+    lpts: np.ndarray,
+    rpts: np.ndarray,
+    rids: np.ndarray,
+    radius: float,
+    k: int | None,
+    pair_chunk: int = 8_000_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
+
+    The tile-kernel core: bin the right side into radius-sized xy buckets
+    (sorted by bucket key once); for every left row expand the 3x3 bucket
+    ring into candidate pairs with searchsorted segment arithmetic (NO
+    per-bucket Python loop); compute distances only on candidates; rank per
+    left row by (distance, right id) with one lexsort. Cost is
+    O(n_l * ball_density + sort) — linear in the true candidate volume,
+    independent of tile size, so the tile level only tunes parallelism.
+
+    Returns (left_idx, right_idx, dist, rank) with rank starting at 1;
+    k=None keeps every within-radius pair (the radius-join mode).
+    """
+    n_l, n_r = len(lpts), len(rpts)
+    if n_l == 0 or n_r == 0:
+        return _EMPTY
+    r2 = radius * radius
+    # bucket both sides on xy at radius granularity
+    x0 = min(lpts[:, 0].min(), rpts[:, 0].min())
+    y0 = min(lpts[:, 1].min(), rpts[:, 1].min())
+    lbx = np.floor((lpts[:, 0] - x0) / radius).astype(np.int64)
+    lby = np.floor((lpts[:, 1] - y0) / radius).astype(np.int64)
+    rbx = np.floor((rpts[:, 0] - x0) / radius).astype(np.int64)
+    rby = np.floor((rpts[:, 1] - y0) / radius).astype(np.int64)
+    m = max(lby.max(initial=0), rby.max(initial=0)) + 3
+    rkey = rbx * m + rby
+    rorder = np.lexsort((rids, rkey))  # deterministic within-bucket order
+    rkey_s = rkey[rorder]
+
+    li_parts: list[np.ndarray] = []
+    ri_parts: list[np.ndarray] = []
+    d_parts: list[np.ndarray] = []
+    rk_parts: list[np.ndarray] = []
+
+    # chunk left rows so the expanded candidate set stays bounded
+    est_per_left = max(1.0, 9.0 * n_r / max(len(np.unique(rkey_s)), 1))
+    lchunk = max(1, int(pair_chunk / est_per_left))
+    for s in range(0, n_l, lchunk):
+        lsl = slice(s, min(s + lchunk, n_l))
+        nlc = lsl.stop - lsl.start
+        seg_starts = np.empty((nlc, 9), dtype=np.int64)
+        seg_ends = np.empty((nlc, 9), dtype=np.int64)
+        oi = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                key = (lbx[lsl] + dx) * m + (lby[lsl] + dy)
+                seg_starts[:, oi] = np.searchsorted(rkey_s, key, side="left")
+                seg_ends[:, oi] = np.searchsorted(rkey_s, key, side="right")
+                oi += 1
+        lens = (seg_ends - seg_starts).ravel()  # (nlc*9,)
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        # expand segments -> candidate index arrays, fully vectorized
+        li_rep = np.repeat(np.repeat(np.arange(lsl.start, lsl.stop), 9), lens)
+        starts_rep = np.repeat(seg_starts.ravel(), lens)
+        offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        ri_sorted_idx = starts_rep + offs
+        ri_glob = rorder[ri_sorted_idx]
+        diff = lpts[li_rep] - rpts[ri_glob]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        within = d2 <= r2
+        if not within.any():
+            continue
+        li_w = li_rep[within]
+        ri_w = ri_glob[within]
+        d2_w = d2[within]
+        ord_ = np.lexsort((rids[ri_w], d2_w, li_w))
+        li_o = li_w[ord_]
+        # rank within each left group (groups are contiguous after sort)
+        newgrp = np.empty(len(li_o), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = li_o[1:] != li_o[:-1]
+        grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(li_o)), 0))
+        rank = np.arange(len(li_o)) - grp_start + 1
+        if k is not None:
+            keep = rank <= k
+        else:
+            keep = np.ones(len(li_o), dtype=bool)
+        li_parts.append(li_o[keep])
+        ri_parts.append(ri_w[ord_][keep])
+        d_parts.append(np.sqrt(d2_w[ord_][keep]))
+        rk_parts.append(rank[keep])
+    if not li_parts:
+        return _EMPTY
+    return (
+        np.concatenate(li_parts),
+        np.concatenate(ri_parts),
+        np.concatenate(d_parts),
+        np.concatenate(rk_parts),
+    )
+
+
 def _topk_kernel_builder(
     k: int,
     radius: float,
@@ -53,9 +187,7 @@ def _topk_kernel_builder(
     l_carry: list[str],
     r_carry: list[str],
 ):
-    """Build the per-tile cogroup kernel. Chunked so a dense tile never
-    materializes more than ~4M pairwise distances at once."""
-    r2 = radius * radius if radius > 0 else float("inf")
+    """Build the per-tile cogroup kernel around grid_topk."""
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         out_cols = (
@@ -68,43 +200,12 @@ def _topk_kernel_builder(
         lpts = np.column_stack([left[d].to_numpy(np.float64) for d in dims])
         rpts = np.column_stack([right[d].to_numpy(np.float64) for d in dims])
         rids = right[rid].to_numpy()
-        n_l, n_r = len(lpts), len(rpts)
-        chunk = max(1, int(4_000_000 // max(n_r, 1)))
-        li_all: list[np.ndarray] = []
-        ri_all: list[np.ndarray] = []
-        d_all: list[np.ndarray] = []
-        rk_all: list[np.ndarray] = []
-        cand = min(n_r, k + 8)  # extra candidates to resolve ties by rid
-        for s in range(0, n_l, chunk):
-            lc = lpts[s : s + chunk]
-            # (c, n_r) squared distances, fully vectorized
-            d2 = ((lc[:, None, :] - rpts[None, :, :]) ** 2).sum(axis=2)
-            if cand < n_r:
-                part = np.argpartition(d2, cand - 1, axis=1)[:, :cand]
-            else:
-                part = np.broadcast_to(np.arange(n_r), (len(lc), n_r))
-            rows = np.arange(len(lc))[:, None]
-            d2c = d2[rows, part]
-            # stable per-row order by (distance, data id) — determinism
-            idc = rids[part]
-            order = np.lexsort((idc, d2c), axis=1)[:, :k]
-            sel = part[rows[:, : order.shape[1]], order]
-            seld = d2[np.arange(len(lc))[:, None], sel]
-            within = seld <= r2
-            n_sel = order.shape[1]
-            li = np.repeat(np.arange(s, s + len(lc)), n_sel).reshape(len(lc), n_sel)
-            rk = np.broadcast_to(np.arange(1, n_sel + 1), (len(lc), n_sel))
-            li_all.append(li[within])
-            ri_all.append(sel[within])
-            d_all.append(np.sqrt(seld[within]))
-            rk_all.append(rk[within])
-        li = np.concatenate(li_all)
-        ri = np.concatenate(ri_all)
+        li, ri, dist, rank = grid_topk(lpts, rpts, rids, radius, k)
         data = {
             lid: left[lid].to_numpy()[li],
             "n_" + rid: rids[ri],
-            "nn_dist": np.concatenate(d_all),
-            "nn_rank": np.concatenate(rk_all).astype(np.int32),
+            "nn_dist": dist,
+            "nn_rank": rank.astype(np.int32),
         }
         for c in l_carry:
             data["l_" + c] = left[c].to_numpy()[li]
@@ -135,7 +236,7 @@ def knn_join(
     Output columns: lid, n_<rid>, nn_dist, nn_rank, l_<carry...>, r_<carry...>.
     """
     if level is None:
-        level = level_for_radius(extent, radius / max(ring, 1))
+        level = auto_level(extent, radius / max(ring, 1), left.count())
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
     rh = cells.explode_halo(rc, level, ring=ring, out="halo_cell").drop("_ix", "_iy", "cell_id")
@@ -188,7 +289,7 @@ def radius_join(
     knn_join; kernel emits every within-radius pair exactly once (each right
     row lands in a given halo cell once, each left row has one home cell)."""
     if level is None:
-        level = level_for_radius(extent, radius / max(ring, 1))
+        level = auto_level(extent, radius / max(ring, 1), left.count())
     r2 = radius * radius
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
@@ -207,19 +308,8 @@ def radius_join(
         rp = np.column_stack([rpdf[d].to_numpy(np.float64) for d in dims])
         lids_ = lpdf[lid].to_numpy()
         rids_ = rpdf[rid].to_numpy()
-        chunk = max(1, int(4_000_000 // max(len(rp), 1)))
-        li_all, ri_all, d_all = [], [], []
-        for s in range(0, len(lp), chunk):
-            d2 = ((lp[s : s + chunk, None, :] - rp[None, :, :]) ** 2).sum(2)
-            ii, jj = np.nonzero(d2 <= r2)
-            li_all.append(ii + s)
-            ri_all.append(jj)
-            d_all.append(np.sqrt(d2[ii, jj]))
-        li = np.concatenate(li_all)
-        ri = np.concatenate(ri_all)
-        return pd.DataFrame(
-            {lid: lids_[li], "n_" + rid: rids_[ri], "nn_dist": np.concatenate(d_all)}
-        )
+        li, ri, dist, _rank = grid_topk(lp, rp, rids_, radius, k=None)
+        return pd.DataFrame({lid: lids_[li], "n_" + rid: rids_[ri], "nn_dist": dist})
 
     lf = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     rf = {f.name: f.dataType.simpleString() for f in right.schema.fields}

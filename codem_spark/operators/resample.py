@@ -48,7 +48,7 @@ def resample_to_points(
     """Interpolate ``value_cols`` of ``samples(x, y, ...)`` at
     ``queries(qid, x, y)`` locations. Returns (qid, x, y, <value_cols>...),
     NODATA where no sample lies within ``radius``."""
-    level = knn.level_for_radius(extent, radius)
+    level = knn.auto_level(extent, radius, queries.count())
     q = cells.with_cell(queries.select(qid, "x", "y"), "x", "y", extent, level).drop("_ix", "_iy")
     s = cells.with_cell(samples.select("x", "y", *value_cols), "x", "y", extent, level)
     # fresh aliases on the sample side: shared lineage with `queries` would

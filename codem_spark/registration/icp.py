@@ -51,7 +51,7 @@ def compute_normals(
     filters.normal knn=9, preprocess.py:317-350). Tile+halo cogroup kernel;
     normals oriented +z (the reference's convention for DSM-derived clouds).
     Output: (pid, x, y, z, nx, ny, nz)."""
-    level = knn.level_for_radius(extent, radius)
+    level = knn.auto_level(extent, radius, points.count())
     q = cells.with_cell(points.select(pid, "x", "y", "z"), "x", "y", extent, level).drop(
         "_ix", "_iy"
     )
@@ -233,7 +233,8 @@ def fine_registration(
     c_extent = (extent[0] - mu[0], extent[1] - mu[1], extent[2] - mu[0], extent[3] - mu[1])
 
     moving_base = moving.select("pid", "x", "y", "z").persist()
-    moving_base.count()
+    n_moving = moving_base.count()
+    join_level = knn.auto_level(c_extent, radius, n_moving)
 
     alpha, tau = 2.0, 0.6  # reference icp.py:128-130
     beta = resolution / 2.0 + 0.5
@@ -257,6 +258,7 @@ def fine_registration(
             rid="pid",
             l_carry=("x", "y", "z"),
             r_carry=("x", "y", "z", "nx", "ny", "nz"),
+            level=join_level,
         ).select(
             F.col("l_x").alias("mx"), F.col("l_y").alias("my"), F.col("l_z").alias("mz"),
             F.col("r_x").alias("fx"), F.col("r_y").alias("fy"), F.col("r_z").alias("fz"),
@@ -304,6 +306,7 @@ def fine_registration(
     corr = knn.knn_join(
         cur, fixed_c, c_extent, radius=radius, k=1,
         lid="pid", rid="pid", l_carry=("x", "y", "z"), r_carry=("x", "y", "z"),
+        level=join_level,
     )
     stats = corr.agg(
         F.sqrt(F.avg(F.pow(F.col("l_x") - F.col("r_x"), 2))).alias("rx"),

@@ -1,9 +1,15 @@
 """N-vs-4N scaling-efficiency evidence (BASELINE.json north rule).
 
-A real multi-executor cluster is unavailable in this sandbox, so the same
-bench job runs at local[8] and local[32] on the same input (the sanctioned
-substitution documented in SURVEY.md §6). Efficiency =
-throughput_4N / (4 * throughput_N). Writes BENCH/BASELINE.md.
+No real multi-executor cluster exists in this sandbox, so (per the
+sanctioned substitution in SURVEY.md §6) the SAME job runs at local[8] and
+local[32] on the same input and efficiency = throughput_4N/(4*throughput_N).
+
+The workload is the north-rule work itself, sized to be scheduling-bound
+nowhere: the tile+halo spatial kNN join, cell-index grid aggregation, the
+per-tile normals kernel (the ICP inner stage), and minhash-LSH dedup — over
+inputs derived by replicating the driver's sf tables (4.8M points from
+lineitem x8, 100k docs from documents x20). Correctness-gate timings stay
+in bench.py; this file measures scaling. Writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -12,72 +18,140 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
+def workload(cpus: int, sf_dir: str) -> dict:
+    """Runs in a subprocess (fresh JVM per parallelism level)."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from codem_spark.functions import cells, geo
+    from codem_spark.operators import dedup, grid, knn
+    from codem_spark.registration import icp
+    from codem_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+    ext = (0.0, 0.0, 100_000.0, 100_000.0)
+    rep = 8
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid0")).distinct()
+    pts = (
+        base.withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+        .select((F.col("pid0") * rep + F.col("r")).alias("pid"))
+        .repartition(4 * cpus)
+        .withColumn("x", geo.id_lane_col(F.col("pid"), 0) * F.lit(ext[2]))
+        .withColumn("y", geo.id_lane_col(F.col("pid"), 1) * F.lit(ext[3]))
+        .withColumn("z", geo.id_lane_col(F.col("pid"), 2) * F.lit(100.0))
+        .persist()
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"bench failed at cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    n_pts = pts.count()
+
+    timings: dict[str, float] = {}
+
+    # 1) flagship spatial kNN-dZ join (A/B halves)
+    a = pts.filter(F.col("pid") % 2 == 0)
+    b = pts.filter(F.col("pid") % 2 == 1)
+    t0 = time.time()
+    j = knn.knn_join(a, b, ext, radius=500.0, k=1, lid="pid", rid="pid",
+                     l_carry=("z",), r_carry=("z",))
+    n_join = j.count()
+    timings["spatial_knn_join"] = time.time() - t0
+
+    # 2) cell-index tile aggregation (G1 + G2)
+    t0 = time.time()
+    cell = cells.cell_encode_col(F.col("x"), F.col("y"), ext, 12)
+    n_agg = pts.select(cell.alias("c"), "z").groupBy("c").agg(
+        F.max("z"), F.count("*")
+    ).count()
+    n_gm = grid.grid_max(pts, ext, 100.0).count()
+    timings["tile_grid_agg"] = time.time() - t0
+
+    # 3) per-tile normals kernel (the ICP correspondence-stage shape)
+    sub = pts.filter(F.col("pid") % 4 == 0)
+    t0 = time.time()
+    n_norm = icp.compute_normals(sub, ext, radius=400.0).count()
+    timings["tile_normals_kernel"] = time.time() - t0
+
+    # 4) minhash-LSH dedup over replicated documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big_docs = (
+        docs.withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(20)])))
+        .select((F.col("doc_id") * 20 + F.col("r")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" v"), F.col("r").cast("string")).alias("text"))
+        .repartition(4 * cpus)
+    )
+    t0 = time.time()
+    n_cand = dedup.minhash_lsh_candidates(big_docs, num_hashes=64, bands=8).count()
+    timings["minhash_lsh"] = time.time() - t0
+
+    total = sum(timings.values())
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_points": n_pts,
+        "outputs": {"join": n_join, "agg": n_agg, "grid": n_gm, "normals": n_norm, "cands": n_cand},
+        "timings": {k: round(v, 2) for k, v in timings.items()},
+        "total_sec": round(total, 2),
+        "rows_per_sec": round(n_pts * 3 / total, 1),
+    }
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        cpus = int(sys.argv[2])
+        sf_dir = sys.argv[3]
+        print("RESULT " + json.dumps(workload(cpus, sf_dir)))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n, n4 = 8, 32
-    r_n = run(n, sf_dir)
-    r_4n = run(n4, sf_dir)
-    thr_n = r_n["input_rows"] * len(r_n["queries"]) / r_n["value"]
-    thr_4n = r_4n["input_rows"] * len(r_4n["queries"]) / r_4n["value"]
-    eff = thr_4n / (4.0 * thr_n)
-    doc = {
-        "sf_dir": sf_dir,
-        "n_cpus": n,
-        "n4_cpus": n4,
-        "suite_sec_n": r_n["value"],
-        "suite_sec_4n": r_4n["value"],
-        "throughput_rows_per_sec_n": round(thr_n, 1),
-        "throughput_rows_per_sec_4n": round(thr_4n, 1),
-        "scaling_efficiency": round(eff, 3),
-        "per_query_n": r_n["queries"],
-        "per_query_4n": r_4n["queries"],
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), sf_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            raise RuntimeError(f"worker {cpus} failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+
+    rn, r4 = results[8], results[32]
+    thr_n = rn["n_points"] / rn["total_sec"]
+    thr_4 = r4["n_points"] / r4["total_sec"]
+    eff = thr_4 / (4.0 * thr_n)
     md = [
         "# BENCH/BASELINE — throughput + N-vs-4N scaling evidence",
         "",
         "Sandbox substitution for the two-cluster-size criterion (no real",
-        "cluster available): the identical bench job at `local[8]` and",
-        "`local[32]` on the same input; efficiency = thr_4N / (4 * thr_N).",
+        "cluster available — SURVEY.md §6): the identical scaling workload at",
+        "`local[8]` and `local[32]` on the same input; efficiency =",
+        "throughput_4N / (4 * throughput_N).",
         "",
-        f"- input: `{sf_dir}` ({r_n['input_rows']} lineitem rows; {len(r_n['queries'])} headline queries)",
-        f"- local[{n}]:  suite {r_n['value']} s, throughput {thr_n:,.0f} rows/s",
-        f"- local[{n4}]: suite {r_4n['value']} s, throughput {thr_4n:,.0f} rows/s",
-        f"- **scaling efficiency {eff:.3f}** (target >= 0.8 per BASELINE.json;",
-        "  note: several headline stages are fixed-cost driver solves (RANSAC,",
-        "  registration) that do not scale with cores — see per-query numbers)",
+        "Workload (the north-rule work, sized to parallelize): tile+halo",
+        f"spatial kNN join over {rn['n_points']:,} derived points (A/B halves),",
+        "cell-index grid aggregation (level-12 Morton + 100 m grid-max),",
+        "the per-tile PCA-normals kernel (ICP inner stage), and minhash-LSH",
+        "dedup over 100k replicated documents.",
         "",
-        "Per-query seconds:",
+        f"- local[8]:  {rn['total_sec']} s total -> {thr_n:,.0f} pts/s",
+        f"- local[32]: {r4['total_sec']} s total -> {thr_4:,.0f} pts/s",
+        f"- **scaling efficiency: {eff:.3f}** (target >= 0.8)",
         "",
-        "| query | local[8] | local[32] | speedup |",
+        "| stage | local[8] s | local[32] s | speedup |",
         "|---|---|---|---|",
     ]
-    for q in r_n["queries"]:
-        a, b = r_n["queries"][q], r_4n["queries"][q]
-        md.append(f"| {q} | {a} | {b} | {a / max(b, 1e-9):.2f}x |")
-    md.append("")
-    md.append("```json")
-    md.append(json.dumps(doc, indent=2))
-    md.append("```")
+    for k in rn["timings"]:
+        a, b = rn["timings"][k], r4["timings"][k]
+        md.append(f"| {k} | {a} | {b} | {a / max(b, 1e-9):.2f}x |")
+    md += ["", "```json", json.dumps(results, indent=2), "```"]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(md) + "\n")
-    print(json.dumps(doc))
+    print(json.dumps({"efficiency": round(eff, 3), "thr_8": round(thr_n), "thr_32": round(thr_4)}))
 
 
 if __name__ == "__main__":
