@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from codem_spark.config import EngineConfig, RegistrationParameters
 from codem_spark.functions.geo import apply_transform_cols
 from codem_spark.operators import grid
+from codem_spark.operators import knn as knn_mod
 from codem_spark.registration import coarse as coarse_mod
 from codem_spark.registration import features
 from codem_spark.registration import icp as icp_mod
@@ -124,6 +125,39 @@ def apply_registration(
     here it is a pure column-expression job over the full table)."""
     m = np.array(params.matrix, dtype=np.float64)
     return apply_transform_cols(aoi_points, m)
+
+
+def with_residuals(
+    registered_aoi: DataFrame,
+    fnd_points: DataFrame,
+    extent: Extent,
+    radius: float,
+    pid: str = "pid",
+) -> DataFrame:
+    """Append per-point registration residual columns (the reference writes
+    ResidualX/Y/Z/Horiz/3D extra dims on the output cloud,
+    apply.py:375-391): residual = registered point - nearest foundation
+    point. Points with no foundation neighbor inside ``radius`` get NULLs."""
+    nn = knn_mod.knn_join(
+        registered_aoi.select(pid, "x", "y", "z"),
+        fnd_points.select(pid, "x", "y", "z"),
+        extent,
+        radius=radius,
+        k=1,
+        lid=pid,
+        rid=pid,
+        l_carry=("x", "y", "z"),
+        r_carry=("x", "y", "z"),
+    ).select(
+        pid,
+        (F.col("l_x") - F.col("r_x")).alias("residual_x"),
+        (F.col("l_y") - F.col("r_y")).alias("residual_y"),
+        (F.col("l_z") - F.col("r_z")).alias("residual_z"),
+    )
+    out = registered_aoi.join(nn, pid, "left")
+    horiz = F.sqrt(F.col("residual_x") ** 2 + F.col("residual_y") ** 2)
+    r3d = F.sqrt(F.col("residual_x") ** 2 + F.col("residual_y") ** 2 + F.col("residual_z") ** 2)
+    return out.withColumn("residual_horiz", horiz).withColumn("residual_3d", r3d)
 
 
 def register(
