@@ -104,6 +104,9 @@ def euclidean_cluster(
 ) -> DataFrame:
     """points(pid, x, y, z) -> (pid, cluster_id); cluster_id = min pid of the
     cluster, or -1 for clusters smaller than min_points."""
+    # consumed three times below (tiling, both radius-join sides): persist so
+    # an expensive upstream (e.g. a kNN-dZ output) is not recomputed
+    points = points.select("pid", "x", "y", "z").persist()
     level = knn.auto_level(extent, tolerance, points.count())
     tiled = cells.with_cell(points.select("pid", "x", "y", "z"), "x", "y", extent, level)
     local = (

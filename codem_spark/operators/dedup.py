@@ -47,15 +47,61 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # ----------------------------------------------------------------- shingles
-def shingles_col(text_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle hashes (xxhash64, JVM-side): distinct 64-bit
-    hashes of each n-word window of the normalized text."""
+# Two-stage shingle hashing. Stage 1 (JVM): one xxhash64 per TOKEN — a
+# single-pass transform. Stage 2 (Arrow UDF): n-gram window combine +
+# per-row distinct in batched numpy. Both obvious all-JVM forms are
+# pathological: transform(i -> xxhash64(concat_ws(slice(...)))) re-slices
+# strings per window (measured 1.2 ms/doc), and element_at(th, i+j) inside
+# a transform re-evaluates the whole token-hash array per element in
+# interpreted mode (O(tokens^2) — observed as a single task pinning a core
+# for minutes on 100k docs).
+_SH_P = (1 << 31) - 1
+_SH_COEF = (1_000_003, 999_979, 31_337, 7_368_787, 2_750_159)
+
+
+def token_hashes_col(text_col: Column) -> Column:
+    """Per-token 31-bit hashes of the normalized text — pure JVM, one pass."""
     toks = F.split(normalized_text_col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
-    return F.array_distinct(grams)
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_SH_P)))
+
+
+def _grams_np(flat: np.ndarray, lens: np.ndarray, n: int):
+    """Windowed n-gram combine over a batch-flattened token-hash array.
+    Returns (row_idx, gram) for every full window that does not cross a row
+    boundary. Fully vectorized."""
+    total = len(flat)
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    g = np.zeros(total - n + 1, dtype=np.int64)
+    for j, c in zip(range(n), _SH_COEF):
+        g = (g + flat[j : total - n + 1 + j] * c) % _SH_P
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    valid = row_of[: total - n + 1] == row_of[n - 1 :]
+    return row_of[: total - n + 1][valid], g[valid]
+
+
+def shingles_col(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle hashes: distinct combined hashes of each full
+    n-word window (rows with fewer than n tokens get an empty set)."""
+    th = token_hashes_col(text_col)
+
+    @F.pandas_udf("array<long>")
+    def grams(s: pd.Series) -> pd.Series:
+        nrows = len(s)
+        lens = s.map(len).to_numpy(np.int64)
+        if nrows == 0 or lens.sum() == 0:
+            return pd.Series([[] for _ in range(nrows)])
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
+        rows, g = _grams_np(flat, lens, n)
+        # per-row distinct via one global unique on (row, gram) packed keys
+        keys = np.unique(rows * (np.int64(1) << np.int64(31)) + g)
+        krow = keys >> np.int64(31)
+        kval = keys & np.int64(_SH_P)
+        starts = np.searchsorted(krow, np.arange(nrows))
+        ends = np.append(starts[1:], len(keys))
+        return pd.Series([kval[starts[i] : ends[i]] for i in range(nrows)])
+
+    return grams(th)
 
 
 # -------------------------------------------------------------- minhash LSH
@@ -235,7 +281,12 @@ def simhash_col(text_col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
         n = len(s)
         if lens.sum() == 0:
             return pd.Series(np.zeros(n, dtype=np.int64))
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s]).view(np.uint64)
+        from codem_spark.functions.geo import splitmix64_np
+
+        # shingle hashes are 31-bit (see shingles_col) — spread to a full
+        # 64-bit avalanche so every simhash bit-plane is informative
+        flat31 = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
+        flat = splitmix64_np(flat31).view(np.uint64)
         # (N, 64) bit matrix -> +/-1 votes
         shifts = np.arange(bits, dtype=np.uint64)
         votes = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
@@ -275,7 +326,7 @@ def simhash_candidates(
     )
     banded = d.select("did", "sh", F.explode(bexpr).alias("b")).select(
         "did", "sh", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    ).persist()  # self-joined: evaluate the simhash UDF once
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.did") < F.col("b.did")))

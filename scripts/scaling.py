@@ -83,7 +83,9 @@ def workload(cpus: int, sf_dir: str) -> dict:
         .select((F.col("doc_id") * 20 + F.col("r")).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" v"), F.col("r").cast("string")).alias("text"))
         .repartition(4 * cpus)
+        .persist()
     )
+    big_docs.count()  # materialize input synthesis outside the timed region
     t0 = time.time()
     n_cand = dedup.minhash_lsh_candidates(big_docs, num_hashes=64, bands=8).count()
     timings["minhash_lsh"] = time.time() - t0
