@@ -86,20 +86,65 @@ def with_cell(df, x: str, y: str, extent: Extent, level: int, out: str = "cell_i
     )
 
 
-def explode_halo(df, level: int, ring: int = 1, out: str = "halo_cell"):
-    """Duplicate every row into its (2*ring+1)^2 neighbor cells.
+def explode_halo(
+    df,
+    level: int,
+    ring: int = 1,
+    out: str = "halo_cell",
+    extent: Extent | None = None,
+    radius: float | None = None,
+    x: str = "x",
+    y: str = "y",
+):
+    """Duplicate every row into its neighbor cells (the halo-exchange side
+    of the tile+halo kNN/IDW pattern; the radius bounds the shuffle volume
+    exactly as the reference bounds kNN by rmse_3d, icp.py:133-135).
+    Requires the _ix/_iy columns from with_cell; out-of-extent duplicates
+    are dropped.
 
-    This is the halo-exchange side of the tile+halo kNN/IDW pattern
-    (bounds the shuffle volume: reference bounds kNN by rmse_3d,
-    icp.py:133-135 — here the radius picks `ring`). Requires the _ix/_iy
-    columns from with_cell. Clamps at the extent edge (duplicates that
-    fall outside [0, 2^level) are dropped via distinct-on-validity).
+    When ``extent`` and ``radius`` are given, a row is duplicated into a
+    neighbor cell ONLY if it lies within ``radius`` of the border facing
+    that neighbor (diagonals: both borders) — correctness is unchanged (a
+    left point in cell C within radius of a right point r implies r is
+    within radius of C's border toward r's cell), but the duplication
+    factor drops from (2r+1)^2 to ~(1 + 2*radius/cell_edge)^2, which is the
+    difference between a 9x and a ~1.7x shuffle at typical radii.
     """
     n = 1 << level
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    off = F.explode(
-        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
-    )
+    border = None
+    if extent is not None and radius is not None:
+        size = cell_size(extent, level)
+        fx = F.col(x) - (F.col("_ix").cast("double") * F.lit(size) + F.lit(extent[0]))
+        fy = F.col(y) - (F.col("_iy").cast("double") * F.lit(size) + F.lit(extent[1]))
+
+        def near(dv: int, f) -> Column:
+            # reach toward a cell |dv| steps away: the first |dv|-1 cells are
+            # crossed whole, the remainder must cover the in-cell offset
+            if dv == 0:
+                return F.lit(True)
+            reach = float(radius) - (abs(dv) - 1) * size
+            if reach <= 0:
+                return F.lit(False)
+            if dv < 0:
+                return f <= F.lit(reach)
+            return (F.lit(size) - f) <= F.lit(reach)
+
+        structs = []
+        for dx, dy in offsets:
+            cond = near(dx, fx) & near(dy, fy)
+            structs.append(
+                F.when(cond, F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")))
+            )
+        off = F.explode(
+            F.filter(F.array(*structs), lambda s: s.isNotNull())
+        )
+    else:
+        off = F.explode(
+            F.array(
+                *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]
+            )
+        )
     out_df = df.withColumn("_off", off)
     jx = F.col("_ix") + F.col("_off.dx")
     jy = F.col("_iy") + F.col("_off.dy")

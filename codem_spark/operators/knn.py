@@ -239,7 +239,9 @@ def knn_join(
         level = auto_level(extent, radius / max(ring, 1), left.count())
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
-    rh = cells.explode_halo(rc, level, ring=ring, out="halo_cell").drop("_ix", "_iy", "cell_id")
+    rh = cells.explode_halo(
+        rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
+    ).drop("_ix", "_iy", "cell_id")
 
     l_cols = [lid, *dims, *[c for c in l_carry if c not in dims and c != lid]]
     r_cols = [rid, *dims, *[c for c in r_carry if c not in dims and c != rid]]
@@ -293,7 +295,9 @@ def radius_join(
     r2 = radius * radius
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
-    rh = cells.explode_halo(rc, level, ring=ring, out="halo_cell").drop("_ix", "_iy", "cell_id")
+    rh = cells.explode_halo(
+        rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
+    ).drop("_ix", "_iy", "cell_id")
     lsel = lc.select("cell_id", lid, *dims)
     rsel = rh.select(
         F.col("halo_cell").alias("cell_id"),

@@ -55,7 +55,7 @@ def resample_to_points(
     # otherwise collapse both cogroup children onto the same attribute ids
     # (see operators/knn.py)
     sh = (
-        cells.explode_halo(s, level, ring=1, out="halo_cell")
+        cells.explode_halo(s, level, ring=1, out="halo_cell", extent=extent, radius=radius)
         .drop("_ix", "_iy", "cell_id")
         .select("halo_cell", *[F.col(c).alias(f"_s_{c}") for c in ("x", "y", *value_cols)])
     )

@@ -57,7 +57,7 @@ def compute_normals(
     )
     s = cells.with_cell(points.select("x", "y", "z"), "x", "y", extent, level)
     sh = (
-        cells.explode_halo(s, level, ring=1, out="halo_cell")
+        cells.explode_halo(s, level, ring=1, out="halo_cell", extent=extent, radius=radius)
         .drop("_ix", "_iy", "cell_id")
         .select("halo_cell", *[F.col(c).alias(f"_s_{c}") for c in ("x", "y", "z")])
     )
