@@ -13,8 +13,29 @@ pipeline; this engine is a distributed dataflow whose relational parts are
 stock Catalyst and whose numerical kernels are new vectorized numpy code.
 """
 
-from codem_spark.config import EngineConfig
+from codem_spark.config import EngineConfig, RegistrationParameters
 from codem_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark"]
+
+def __getattr__(name: str):
+    # Library API parity with the reference package surface
+    # (reference src/codem/__init__.py:1-9) — lazy to keep import cheap.
+    if name in {"preprocess", "coarse_registration", "fine_registration_stage",
+                "apply_registration", "register", "with_residuals"}:
+        from codem_spark.registration import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "EngineConfig",
+    "RegistrationParameters",
+    "get_spark",
+    "preprocess",
+    "coarse_registration",
+    "fine_registration_stage",
+    "apply_registration",
+    "register",
+]
 __version__ = "0.1.0"

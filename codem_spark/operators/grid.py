@@ -294,6 +294,29 @@ def infill(
     return filled
 
 
+def colormap_encode(
+    df: DataFrame, col: str = "dz", vmin: float = -5.0, vcenter: float = 0.0, vmax: float = 5.0
+) -> DataFrame:
+    """A11: diverging two-slope colormap -> uint16 RGB columns (reference
+    vcd/preprocessing/preprocess.py:330-355 uses matplotlib TwoSlopeNorm +
+    RdBu; here the piecewise-linear norm and a blue-white-red ramp are plain
+    column expressions). Cosmetic output parity: channels in [0, 65535]."""
+    v = F.col(col)
+    lo = F.when(v < vcenter, (v - F.lit(vmin)) / F.lit(max(vcenter - vmin, 1e-12)) * 0.5)
+    norm = lo.otherwise(F.lit(0.5) + (v - F.lit(vcenter)) / F.lit(max(vmax - vcenter, 1e-12)) * 0.5)
+    norm = F.least(F.lit(1.0), F.greatest(F.lit(0.0), norm))
+    # blue (0) -> white (0.5) -> red (1)
+    red = F.when(norm <= 0.5, norm * 2.0).otherwise(F.lit(1.0))
+    blue = F.when(norm >= 0.5, (F.lit(1.0) - norm) * 2.0).otherwise(F.lit(1.0))
+    green = F.when(norm <= 0.5, norm * 2.0).otherwise((F.lit(1.0) - norm) * 2.0)
+    to16 = lambda c: F.round(c * 65535.0).cast("int")  # noqa: E731
+    return (
+        df.withColumn("red", to16(red))
+        .withColumn("green", to16(green))
+        .withColumn("blue", to16(blue))
+    )
+
+
 def dsm_to_points(
     dsm: DataFrame, extent: Extent, resolution: float, area_or_point: str = "Area"
 ) -> DataFrame:

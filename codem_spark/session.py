@@ -31,6 +31,12 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cpus)
 
+    # One BLAS thread per Python worker: N workers x M BLAS threads
+    # oversubscribes the box quadratically (batched eigh/matmul kernels);
+    # parallelism comes from Spark tasks, not from nested BLAS pools.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -47,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -110,16 +110,24 @@ def main() -> None:
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     results = {}
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), sf_dir],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
-        if not line:
-            raise RuntimeError(f"worker {cpus} failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
+        best = None
+        for _ in range(repeats):  # best-of-N damps co-tenant noise
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), sf_dir],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"worker {cpus} failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}"
+                )
+            r = json.loads(line[-1][len("RESULT "):])
+            if best is None or r["total_sec"] < best["total_sec"]:
+                best = r
+        results[cpus] = best
 
     rn, r4 = results[8], results[32]
     thr_n = rn["n_points"] / rn["total_sec"]

@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions — the scale properties the engine relies
+on must survive refactors: filter pushdown to the parquet scan, partial
+(map-side) aggregation, broadcast joins for small dims, and whole-stage
+codegen on the scan-side expression paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bbox_filter_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter((F.col("l_quantity") > 10.0) & (F.col("l_partkey") < 100)).select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # column pruning: the scan must not read more than the 3 needed columns
+    assert "ReadSchema" in plan
+
+
+def test_grid_max_has_partial_aggregation(spark):
+    from codem_spark import synth
+    from codem_spark.operators import grid
+
+    pc = synth.point_cloud(spark, 1000)
+    plan = _plan(grid.grid_max(pc, (0, 0, 100000, 100000), 1000.0))
+    # two HashAggregates around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(gx" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_orderkey", "o_totalprice")
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_scan_side_text_ops_have_no_exchange(spark):
+    from codem_spark.functions import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(
+        "doc_id",
+        text.token_count_col(F.col("text")).alias("n"),
+        text.fingerprint_col(F.col("text")).alias("f"),
+    )
+    plan = _plan(q)
+    assert "Exchange" not in plan  # pure scan-side pipeline
+    assert "WholeStageCodegen" in plan
+
+
+def test_cell_encode_is_codegen(spark):
+    from codem_spark import synth
+    from codem_spark.functions import cells
+
+    pc = synth.point_cloud(spark, 100)
+    q = pc.select(cells.cell_encode_col(F.col("x"), F.col("y"), (0, 0, 100000, 100000), 12))
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan
