@@ -45,10 +45,15 @@ class PreprocessResult:
 
 def _prep_dsm(points: DataFrame, extent: Extent, resolution: float) -> DataFrame:
     """points -> infilled, normalized DSM tile table (the reference's
-    GeoData.prep: _infill -> _normalize, preprocess.py:360-373)."""
+    GeoData.prep: _infill -> _normalize, preprocess.py:360-373).
+
+    exact percentiles, NOT approxQuantile: GK sketches depend on partition
+    layout, so the quantized DSM (hence keypoints, hence n_pairs) would
+    differ between cluster sizes — the north rule demands identical
+    outputs. The DSM is already resolution-reduced, so exact is cheap."""
     dsm = grid.grid_max(points, extent, resolution)
     filled = grid.infill(dsm, extent, resolution, tile_level=8)
-    return grid.quantize_normalize(filled, "z", exact=False)
+    return grid.quantize_normalize(filled, "z", exact=True)
 
 
 def estimate_pipeline_resolution(

@@ -115,8 +115,14 @@ def main() -> None:
     for cpus in (8, 32):
         best = None
         for _ in range(repeats):  # best-of-N damps co-tenant noise
+            # taskset pins the WHOLE process tree (JVM GC/shuffle threads +
+            # Python workers) to exactly `cpus` cores — a bare local[N] only
+            # limits task slots while its helper threads still use the full
+            # machine, which silently inflates the small-N throughput and
+            # makes the N-vs-4N comparison meaningless
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), sf_dir],
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, os.path.abspath(__file__), "--worker", str(cpus), sf_dir],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
