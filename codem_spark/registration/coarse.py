@@ -37,15 +37,34 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
     return out
 
 
+# Above this many foundation descriptors the broadcast brute-force matcher
+# switches to a banded-LSH candidate join — the same capacity switch the
+# reference makes from BFMatcher to FLANN-LSH (dsm.py:175-183).
+BF_MATCH_CAPACITY = 1 << 17
+
+
 def match_features(
     fnd_kp: DataFrame,
     aoi_kp: DataFrame,
     lowes_ratio: float = 0.9,
+    capacity: int = BF_MATCH_CAPACITY,
 ) -> pd.DataFrame:
-    """k=2 Hamming kNN of AOI descriptors against broadcast foundation
-    descriptors + Lowe ratio filter (reference dsm.py:185-197). Returns the
-    putative-match pair table as pandas (small by construction):
+    """k=2 Hamming kNN of AOI descriptors against foundation descriptors +
+    Lowe ratio filter (reference dsm.py:185-197). Brute force against a
+    broadcast set when the foundation fits (<= capacity descriptors);
+    banded-LSH candidate join above that. Returns the putative-match pair
+    table as pandas (small by construction):
     columns fx, fy, fz, ax, ay, az, dist."""
+    if fnd_kp.count() > capacity:
+        return _match_features_lsh(fnd_kp, aoi_kp, lowes_ratio)
+    return _match_features_bf(fnd_kp, aoi_kp, lowes_ratio)
+
+
+def _match_features_bf(
+    fnd_kp: DataFrame,
+    aoi_kp: DataFrame,
+    lowes_ratio: float = 0.9,
+) -> pd.DataFrame:
     fnd = fnd_kp.select("x", "y", "z", "d0", "d1", "d2", "d3").toPandas()
     fdesc = fnd[["d0", "d1", "d2", "d3"]].to_numpy(np.int64)
     fxyz = fnd[["x", "y", "z"]].to_numpy(np.float64)
@@ -90,6 +109,82 @@ def match_features(
     return aoi_kp.select("x", "y", "z", "d0", "d1", "d2", "d3").mapInPandas(
         batches, schema=schema
     ).toPandas()
+
+
+def _match_features_lsh(
+    fnd_kp: DataFrame,
+    aoi_kp: DataFrame,
+    lowes_ratio: float = 0.9,
+    band_bits: int = 16,
+) -> pd.DataFrame:
+    """LSH fallback for huge descriptor sets: candidate pairs collide on any
+    16-bit band of any of the 4 descriptor lanes (catching near-Hamming
+    matches with high recall, like the reference's FLANN multi-probe LSH);
+    exact Hamming + per-AOI-keypoint top-2 + Lowe ratio on the candidates —
+    one banded shuffle join instead of a broadcast."""
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(lane * 4 + b).alias("band"),
+                    F.shiftrightunsigned(F.col(f"d{lane}"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for lane in range(4)
+                for b in range(64 // band_bits)
+            ]
+        )
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in ("x", "y", "z", "d0", "d1", "d2", "d3")]
+        return df.select(*cols, F.explode(bexpr).alias("b")).select(
+            *[f"{prefix}{c}" for c in ("x", "y", "z", "d0", "d1", "d2", "d3")],
+            F.col("b.band").alias("band"),
+            F.col("b.bkey").alias("bkey"),
+        )
+
+    fb = banded(fnd_kp, "f_").persist()
+    ab = banded(aoi_kp, "a_")
+    ham = None
+    for lane in range(4):
+        h = F.bit_count(F.col(f"a_d{lane}").bitwiseXOR(F.col(f"f_d{lane}")))
+        ham = h if ham is None else ham + h
+    pairs = (
+        ab.join(fb, ["band", "bkey"])
+        .drop("band", "bkey")
+        .dropDuplicates(["a_x", "a_y", "f_x", "f_y"])
+        .withColumn("ham", ham)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_x", "a_y").orderBy(F.col("ham").asc(), F.col("f_x"), F.col("f_y"))
+    top2 = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    agg = (
+        top2.groupBy("a_x", "a_y")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("ham"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("ham"))).alias("d2"),
+            F.first(F.when(F.col("rn") == 1, F.col("f_x")), ignorenulls=True).alias("fx"),
+            F.first(F.when(F.col("rn") == 1, F.col("f_y")), ignorenulls=True).alias("fy"),
+            F.first(F.when(F.col("rn") == 1, F.col("f_z")), ignorenulls=True).alias("fz"),
+            F.first(F.when(F.col("rn") == 1, F.col("a_z")), ignorenulls=True).alias("az"),
+        )
+        # a lone candidate has no in-bucket second-best: score the ratio test
+        # against the max possible Hamming distance (256 bits) — the BF path
+        # would see a random ~128-distance second-best and pass it anyway
+        .filter(
+            F.col("d1")
+            < F.lit(lowes_ratio) * F.coalesce(F.col("d2"), F.lit(256).cast("int"))
+        )
+    )
+    out = agg.select(
+        "fx", "fy", "fz",
+        F.col("a_x").alias("ax"), F.col("a_y").alias("ay"), F.col("az").alias("az"),
+        F.col("d1").cast("double").alias("dist"),
+    ).toPandas()
+    fb.unpersist()
+    return out
 
 
 def umeyama(src: np.ndarray, dst: np.ndarray, solve_scale: bool = True) -> np.ndarray:

@@ -53,7 +53,7 @@ def test_scan_side_text_ops_have_no_exchange(spark):
     )
     plan = _plan(q)
     assert "Exchange" not in plan  # pure scan-side pipeline
-    assert "WholeStageCodegen" in plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan  # codegen marker
 
 
 def test_cell_encode_is_codegen(spark):
@@ -64,4 +64,4 @@ def test_cell_encode_is_codegen(spark):
     q = pc.select(cells.cell_encode_col(F.col("x"), F.col("y"), (0, 0, 100000, 100000), 12))
     plan = _plan(q)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "WholeStageCodegen" in plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan  # codegen marker
