@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput GC: the default G1 showed multi-second pauses at high
+        # task counts on shuffle-heavy stages; ParallelGC trades latency for
+        # the throughput these batch jobs want
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")
