@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 EXTENT = (0.0, 0.0, 100_000.0, 100_000.0)
 PIP_RING = [(20000.0, 20000.0), (80000.0, 25000.0), (70000.0, 75000.0), (30000.0, 70000.0)]
-KNN_RADIUS = 20_000.0
+# starting radius for the escalating NN join — a small start admits a fine
+# tile level (radius rule) and a narrow halo; escalation keeps completeness
+KNN_RADIUS = 2_500.0
 
 
 # ---------------------------------------------------------------- helpers
@@ -124,7 +126,9 @@ def _q_knn_dz(spark: SparkSession, sf_dir: str) -> DataFrame:
     clouds, tile+halo kNN with completeness escalation."""
     from codem_spark.operators import knn
 
-    pts = _points(spark, sf_dir)
+    # persist: both join sides and every escalation round derive from the
+    # same scan+distinct — without this the parquet scan reruns per use
+    pts = _points(spark, sf_dir).persist()
     # NB: pid = l_orderkey*8 + l_linenumber with l_linenumber in 1..7, so
     # pid % 8 is never 0 — pick residues that actually occur
     a = pts.filter(F.col("pid") % 40 == 1)
@@ -250,7 +254,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codem_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 8)
+    # small-data config: 4x16-bit bands catch ALL pairs within Hamming 3
+    # (pigeonhole-complete); the default 2x32-bit config is the 10^9-doc
+    # scale path where 16-bit band keyspaces would overflow buckets
+    return dedup.simhash_candidates(docs, band_bits=16, hamming_max=3)
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +298,8 @@ def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 Euclidean clustering over a dense subsample of the derived cloud."""
     from codem_spark.operators import cluster
 
-    pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 0).withColumn(
+    # pid % 8 is never 0 (l_linenumber in 1..7) — use a residue that occurs
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 1).withColumn(
         "z", F.lit(0.0)
     )
     return cluster.euclidean_cluster(pts, EXTENT, tolerance=600.0, min_points=5)
@@ -339,7 +347,11 @@ def _q_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = P.coarse_registration(prep, cfg)
     prep.fnd_dsm.unpersist()
     prep.aoi_dsm.unpersist()
-    rec = {k: [float(v)] if not isinstance(v, (int, list)) else [v] for k, v in c.to_dict().items() if k != "matrix"}
+    rec = {
+        k: [float(v)] if not isinstance(v, (int, list)) else [v]
+        for k, v in c.to_dict().items()
+        if k not in ("matrix", "matrix_native") and v is not None
+    }
     return spark.createDataFrame(pd.DataFrame(rec))
 
 

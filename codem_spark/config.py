@@ -129,6 +129,11 @@ class RegistrationParameters:
     rmse_y: float = 0.0
     rmse_z: float = 0.0
     rmse_3d: float = 0.0
+    # F3: AOI-native-units -> foundation-native-units matrix (the reference's
+    # get_registration_transformation output, apply.py:116-123). Equals
+    # ``matrix`` when both datasets are metric; populated by pipeline.register
+    # when unit factors are supplied.
+    matrix_native: list[list[float]] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

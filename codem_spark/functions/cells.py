@@ -152,6 +152,29 @@ def explode_halo(
     return out_df.withColumn(out, interleave_col(jx, jy)).drop("_off")
 
 
+def border_band(
+    df,
+    extent: Extent,
+    level: int,
+    radius: float,
+    x: str = "x",
+    y: str = "y",
+):
+    """Rows within ``radius`` of their cell's border (requires the _ix/_iy
+    columns from with_cell). A point deeper than ``radius`` inside its tile
+    cannot participate in any cross-tile pair within ``radius`` — this is
+    the pre-filter that keeps cross-tile edge generation O(boundary), not
+    O(points²), for the distributed connected-components pass."""
+    size = cell_size(extent, level)
+    fx = F.col(x) - (F.col("_ix").cast("double") * F.lit(size) + F.lit(extent[0]))
+    fy = F.col(y) - (F.col("_iy").cast("double") * F.lit(size) + F.lit(extent[1]))
+    r = F.lit(float(radius))
+    near = (
+        (fx <= r) | ((F.lit(size) - fx) <= r) | (fy <= r) | ((F.lit(size) - fy) <= r)
+    )
+    return df.filter(near)
+
+
 # ---------------------------------------------------------------- numpy side
 def _spread_np(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.uint64)

@@ -69,6 +69,60 @@ def table_exists(path: str) -> bool:
     return table_manifest(path) is not None
 
 
+def quantized_point_write(
+    df: DataFrame,
+    path: str,
+    offsets: tuple[float | str, float | str, float | str] = ("auto", "auto", "auto"),
+    scales: tuple[float | str, float | str, float | str] = ("auto", "auto", "auto"),
+    properties: dict[str, Any] | None = None,
+    partition_by: list[str] | None = None,
+) -> dict[str, Any]:
+    """S9: LAS-style scale/offset point quantization (reference
+    apply.py:343-353 writer kwargs OFFSET_*/SCALE_*, config main.py:150-163).
+    Coordinates are stored as int32 ``round((v - offset) / scale)``;
+    'auto' resolves offset to floor(min(v)) and scale to 0.01 (centimeter,
+    the LAS convention). Scale/offset land in the table manifest — the
+    Iceberg-table-properties stand-in — so readers reconstruct without side
+    channels."""
+    mins = df.agg(
+        F.floor(F.min("x")).alias("x"),
+        F.floor(F.min("y")).alias("y"),
+        F.floor(F.min("z")).alias("z"),
+    ).collect()[0]
+    axes = ("x", "y", "z")
+    off = {a: float(mins[a]) if o == "auto" else float(o) for a, o in zip(axes, offsets)}
+    scl = {a: 0.01 if s == "auto" else float(s) for a, s in zip(axes, scales)}
+    out = df
+    for a in axes:
+        q = F.round((F.col(a) - F.lit(off[a])) / F.lit(scl[a])).cast("int")
+        out = out.withColumn(a, q)
+    props = dict(properties or {})
+    props.update(
+        {
+            "point_quantization": {
+                "offsets": off,
+                "scales": scl,
+            }
+        }
+    )
+    return write_table(out, path, partition_by=partition_by, properties=props)
+
+
+def quantized_point_read(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse of quantized_point_write: int32 -> double via the manifest's
+    scale/offset properties."""
+    m = table_manifest(path)
+    if m is None or "point_quantization" not in m.get("properties", {}):
+        raise ValueError(f"{path} is not a quantized point table")
+    q = m["properties"]["point_quantization"]
+    df = spark.read.parquet(path)
+    for a in ("x", "y", "z"):
+        df = df.withColumn(
+            a, F.col(a).cast("double") * F.lit(q["scales"][a]) + F.lit(q["offsets"][a])
+        )
+    return df
+
+
 def cell_partitioned_write(
     df: DataFrame,
     path: str,

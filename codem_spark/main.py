@@ -1,0 +1,164 @@
+"""spark-submit-able CLI — the engine twin of the reference's two entry
+points (``codem <foundation> <aoi> [opts]``, src/codem/main.py:182-396, and
+``vcd <before> <after>``, src/vcd/main.py:351-360).
+
+    spark-submit --py-files codem_spark.zip -m codem_spark.main \
+        register fnd.parquet aoi.parquet --output-dir runs/r1 [opts]
+    ... vcd before.parquet after.parquet --output-dir runs/v1 [opts]
+
+Inputs are point tables (parquet with x, y, z [, pid]) — the cluster-scale
+equivalent of the reference's GeoTIFF/LAS readers. Every run writes the
+reference's artifact set (config.json = config.yml, registration.json =
+registration.txt fields dsm.py:434-466, registered AOI table) through
+io/lineage.run_stage, so a rerun after failure resumes at the last
+completed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _add_register_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("foundation_file")
+    p.add_argument("aoi_file")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--min-resolution", type=float, default=1.0)
+    p.add_argument("--resolution", type=float, default=None,
+                   help="pipeline resolution override (meters); default: estimated")
+    p.add_argument("--fnd-units", default="m")
+    p.add_argument("--aoi-units", default="m")
+    p.add_argument("--dsm-lowes-ratio", type=float, default=0.9)
+    p.add_argument("--dsm-ransac-threshold", type=float, default=10.0)
+    p.add_argument("--dsm-strong-filter", type=float, default=10.0)
+    p.add_argument("--dsm-weak-filter", type=float, default=1.0)
+    p.add_argument("--dsm-solve-scale", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--icp-max-iter", type=int, default=100)
+    p.add_argument("--icp-solve-scale", type=lambda s: s.lower() != "false", default=True)
+
+
+def _add_vcd_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("before_file")
+    p.add_argument("after_file")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--ground-height", type=float, default=1.0)
+    p.add_argument("--tolerance", type=float, default=2.0)
+    p.add_argument("--min-points", type=int, default=30)
+    p.add_argument("--resolution", type=float, default=1.0)
+    p.add_argument("--knn-radius", type=float, default=50.0)
+
+
+def _read_points(spark: SparkSession, path: str):
+    df = spark.read.parquet(path)
+    if "pid" not in df.columns:
+        df = df.withColumn("pid", F.xxhash64("x", "y", "z"))
+    return df.select("pid", "x", "y", "z")
+
+
+def cmd_register(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from codem_spark.config import EngineConfig
+    from codem_spark.io import lineage
+    from codem_spark.registration import pipeline as P
+
+    cfg = EngineConfig(
+        min_resolution=args.min_resolution,
+        dsm_lowes_ratio=args.dsm_lowes_ratio,
+        dsm_ransac_threshold=args.dsm_ransac_threshold,
+        dsm_strong_filter=args.dsm_strong_filter,
+        dsm_weak_filter=args.dsm_weak_filter,
+        dsm_solve_scale=args.dsm_solve_scale,
+        icp_max_iter=args.icp_max_iter,
+        icp_solve_scale=args.icp_solve_scale,
+        output_dir=args.output_dir,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg.dump(os.path.join(args.output_dir, "config.json"))
+    # resume: a completed run (record + registered table with matching
+    # fingerprint) is returned without recomputation
+    reg_path = os.path.join(args.output_dir, "registration.json")
+    fp = f"{args.foundation_file}|{args.aoi_file}"
+    if os.path.exists(reg_path) and lineage.stage_complete(
+        args.output_dir, "registered_aoi", fp
+    ):
+        with open(reg_path) as fh:
+            return json.load(fh)
+    fnd = _read_points(spark, args.foundation_file)
+    aoi = _read_points(spark, args.aoi_file)
+    c, f, out = P.register(
+        fnd, aoi, cfg=cfg, resolution=args.resolution,
+        fnd_units=args.fnd_units, aoi_units=args.aoi_units,
+    )
+    # registration.json: the reference's registration.txt field set
+    # (dsm.py:434-466) for both stages
+    rec = {"coarse": c.to_dict(), "fine": f.to_dict(),
+           "fnd_units": args.fnd_units, "aoi_units": args.aoi_units}
+    with open(os.path.join(args.output_dir, "registration.json"), "w") as fh:
+        json.dump(rec, fh, indent=2)
+    lineage.run_stage(
+        spark, args.output_dir, "registered_aoi", lambda: out,
+        input_fingerprint=fp,
+        metrics={"rmse_3d": f.rmse_3d, "n_pairs": f.n_pairs},
+    )
+    return rec
+
+
+def cmd_vcd(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from codem_spark import vcd
+    from codem_spark.io import lineage
+    from codem_spark.operators import grid
+
+    cfg = vcd.VcdConfig(
+        ground_height=args.ground_height, tolerance=args.tolerance,
+        min_points=args.min_points, resolution=args.resolution,
+        knn_radius=args.knn_radius,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "config.json"), "w") as fh:
+        json.dump({**cfg.__dict__, "before": args.before_file, "after": args.after_file},
+                  fh, indent=2)
+    before = _read_points(spark, args.before_file)
+    after = _read_points(spark, args.after_file)
+    bb = grid.bounds(before)
+    ba = grid.bounds(after)
+    extent = (min(bb[0], ba[0]), min(bb[1], ba[1]), max(bb[2], ba[2]), max(bb[3], ba[3]))
+    clustered, summaries, prods = vcd.run_vcd(before, after, extent, cfg)
+    fp = f"{args.before_file}|{args.after_file}"
+    lineage.run_stage(spark, args.output_dir, "clustered", lambda: clustered, input_fingerprint=fp)
+    lineage.run_stage(spark, args.output_dir, "summaries", lambda: summaries, input_fingerprint=fp)
+    for name, df in prods.items():
+        lineage.run_stage(spark, args.output_dir, f"product_{name}",
+                          lambda df=df: df, input_fingerprint=fp)
+    clustered.unpersist()
+    return {"extent": list(extent)}
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="codem-spark")
+    sub = ap.add_subparsers(dest="command", required=True)
+    _add_register_args(sub.add_parser("register", help="coarse+fine co-registration"))
+    _add_vcd_args(sub.add_parser("vcd", help="vertical change detection"))
+    args = ap.parse_args(argv)
+    own_session = spark is None
+    if spark is None:
+        from codem_spark.session import get_spark
+
+        spark = get_spark(app_name=f"codem_spark_{args.command}")
+    try:
+        if args.command == "register":
+            cmd_register(spark, args)
+        else:
+            cmd_vcd(spark, args)
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,64 +33,44 @@ from codem_spark.operators import knn
 Extent = tuple[float, float, float, float]
 
 
-def _tile_union_find(tolerance: float):
-    tol2 = tolerance * tolerance
+def components_np(n: int, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Connected components over ``n`` nodes and edges (ii, jj) — fully
+    vectorized min-label propagation with pointer-doubling shortcuts
+    (hash-to-min): labels only decrease, each round is O(E + n), and the
+    shortcut step (label <- label of label) gives O(log diameter) rounds.
+    Returns the component root index per node (min node index)."""
+    lab = np.arange(n, dtype=np.int64)
+    if len(ii) == 0:
+        return lab
+    a = np.concatenate([ii, jj])
+    b = np.concatenate([jj, ii])
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, a, lab[b])
+        l2 = np.minimum(l2, l2[l2])
+        l2 = np.minimum(l2, l2[l2])
+        if np.array_equal(l2, lab):
+            return lab
+        lab = l2
 
+
+def _tile_union_find(tolerance: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         pids = pdf["pid"].to_numpy()
         if n == 0:
             return pd.DataFrame({"pid": [], "label": []})
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
-        parent = np.arange(n)
-
-        def find(i: int) -> int:
-            root = i
-            while parent[root] != root:
-                root = parent[root]
-            while parent[i] != root:
-                parent[i], i = root, parent[i]
-            return root
-
-        # grid-hash into tolerance-sized sub-buckets; only adjacent buckets
-        # can contain pairs within tolerance
-        gx = np.floor(pts[:, 0] / tolerance).astype(np.int64)
-        gy = np.floor(pts[:, 1] / tolerance).astype(np.int64)
-        keys = np.stack([gx, gy], axis=1)
-        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        starts = np.searchsorted(inv[order], np.arange(len(uniq)))
-        ends = np.append(starts[1:], n)
-        bucket_of = {
-            (int(uniq[i, 0]), int(uniq[i, 1])): order[starts[i] : ends[i]]
-            for i in range(len(uniq))
-        }
-        for (bx, by), idx_a in bucket_of.items():
-            for dx in (0, 1):
-                for dy in (-1, 0, 1):
-                    if dx == 0 and dy < 0:
-                        continue
-                    nb = (bx + dx, by + dy)
-                    idx_b = bucket_of.get(nb)
-                    if idx_b is None:
-                        continue
-                    a_pts = pts[idx_a]
-                    b_pts = pts[idx_b]
-                    d2 = ((a_pts[:, None, :] - b_pts[None, :, :]) ** 2).sum(2)
-                    ii, jj = np.nonzero(d2 <= tol2)
-                    for i_, j_ in zip(idx_a[ii], idx_b[jj]):
-                        if i_ == j_:
-                            continue
-                        ri, rj = find(int(i_)), find(int(j_))
-                        if ri != rj:
-                            parent[max(ri, rj)] = min(ri, rj)
-        roots = np.array([find(int(i)) for i in range(n)])
+        # within-tolerance pairs via the shared grid-hash radius kernel
+        # (linear in candidate volume); then vectorized component labels —
+        # no per-pair Python loop
+        li, ri, _d, _rk = knn.grid_topk(pts, pts, np.arange(n), tolerance, k=None)
+        m = li != ri
+        roots = components_np(n, li[m], ri[m])
         # tile-local label = min pid in component (globally meaningful seed)
-        lab = np.empty(n, dtype=np.int64)
-        for r in np.unique(roots):
-            members = roots == r
-            lab[members] = pids[members].min()
-        return pd.DataFrame({"pid": pids, "label": lab})
+        comp_min = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(comp_min, roots, pids.astype(np.int64))
+        return pd.DataFrame({"pid": pids, "label": comp_min[roots]})
 
     return kernel
 
@@ -107,7 +87,8 @@ def euclidean_cluster(
     # consumed three times below (tiling, both radius-join sides): persist so
     # an expensive upstream (e.g. a kNN-dZ output) is not recomputed
     points = points.select("pid", "x", "y", "z").persist()
-    level = knn.auto_level(extent, tolerance, points.count())
+    par = points.sparkSession.sparkContext.defaultParallelism
+    level = knn.auto_level(extent, tolerance, points.count(), parallelism=par)
     tiled = cells.with_cell(points.select("pid", "x", "y", "z"), "x", "y", extent, level)
     local = (
         tiled.drop("_ix", "_iy")
@@ -117,17 +98,26 @@ def euclidean_cluster(
             schema="pid long, label long",
         )
     )
-    # cross-tile edges: ALL pairs within tolerance (radius join); symmetrize
-    # so min-labels flow both directions during propagation
+    # cross-tile edges ONLY: intra-tile connectivity is already resolved by
+    # the kernel above, so (a) both radius-join sides pre-filter to the
+    # border band (points within tolerance of a tile border — everything
+    # deeper cannot form a cross-tile pair) and (b) the join keeps only
+    # pairs whose endpoints live in different tiles. A dense m-point blob in
+    # a tile interior now contributes ZERO edge rows (was ~m²); symmetrize
+    # so min-labels flow both directions during propagation.
+    border = cells.border_band(tiled, extent, level, tolerance).select(
+        "pid", "x", "y", "z"
+    )
     half = (
         knn.radius_join(
-            points.select("pid", "x", "y", "z"),
-            points.select("pid", "x", "y", "z"),
+            border,
+            border,
             extent,
             radius=tolerance,
             lid="pid",
             rid="pid",
             level=level,
+            cross_tile_only=True,
         )
         .filter(F.col("pid") < F.col("n_pid"))
         .select(F.col("pid").alias("a"), F.col("n_pid").alias("b"))

@@ -123,12 +123,59 @@ def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _minhash_matrix(
+    s: pd.Series, a_vec: np.ndarray, b_vec: np.ndarray, chunk_flat: int = 250_000
+) -> np.ndarray:
+    """(n_rows, num_hashes) minhash matrix over a batch of shingle arrays.
+
+    Processes row slices whose total flattened shingle count stays under
+    ``chunk_flat``: the (N, H) modular-product temporary is the hot
+    allocation (an unchunked 65536-row Arrow batch of ~200-shingle docs is a
+    13M x 64 x 8 B = ~6.7 GB temp PER python worker — 32 workers of those
+    thrash the box and flatten the core-scaling curve). Chunked at 250k flat
+    entries the temp is ~128 MB per worker; results are bit-identical.
+    The small chunk also bounds exposure to this sandbox's host-level
+    page-fault stalls, which intermittently make a LARGE fresh allocation
+    20-60x slower (measured: the same 133 MB product took 0.2 s or 13 s
+    run-to-run under identical code)."""
+    num_hashes = len(a_vec)
+    n = len(s)
+    out = np.full((n, num_hashes), _MH_PRIME, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = s.map(len).to_numpy(np.int64)
+    if lens.sum() == 0:
+        return out
+    # row-slice boundaries so each slice's flat length <= chunk_flat
+    cum = np.cumsum(lens)
+    row_lo = 0
+    while row_lo < n:
+        base = cum[row_lo - 1] if row_lo else 0
+        row_hi = int(np.searchsorted(cum, base + chunk_flat, side="right"))
+        row_hi = max(row_hi, row_lo + 1)  # always advance (one huge row)
+        sl = s.iloc[row_lo:row_hi]
+        lsl = lens[row_lo:row_hi]
+        if lsl.sum() > 0:
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in sl])
+            hp = flat % _MH_PRIME
+            prod = (hp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_PRIME
+            starts = np.zeros(len(lsl), dtype=np.int64)
+            np.cumsum(lsl[:-1], out=starts[1:])
+            safe = lsl > 0
+            if safe.all():
+                out[row_lo:row_hi] = np.minimum.reduceat(prod, starts, axis=0)
+            else:
+                out[row_lo:row_hi][safe] = np.minimum.reduceat(prod, starts[safe], axis=0)
+        row_lo = row_hi
+    return out
+
+
 def minhash_signature_col(shingles: Column, num_hashes: int = 64) -> Column:
     """num_hashes-lane minhash signature: min over shingles of
     (a * h + b) mod p per lane.
 
     Implemented as ONE Arrow-vectorized pandas UDF over the shingle array
-    (flatten batch -> (N, num_hashes) modular products -> per-row
+    (flatten batch -> chunked (N, num_hashes) modular products -> per-row
     minimum.reduceat): a 64-lane JVM expression tree is ~50x slower here and
     the UDF is still scan-side (no shuffle), deterministic arithmetic."""
     coeffs = _mh_coeffs(num_hashes)
@@ -137,23 +184,7 @@ def minhash_signature_col(shingles: Column, num_hashes: int = 64) -> Column:
 
     @F.pandas_udf("array<long>")
     def sig(s: pd.Series) -> pd.Series:
-        lens = s.map(len).to_numpy(np.int64)
-        if lens.sum() == 0:
-            return pd.Series([[int(_MH_PRIME)] * num_hashes for _ in range(len(s))])
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
-        hp = flat % _MH_PRIME
-        prod = (hp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_PRIME  # (N, H)
-        starts = np.zeros(len(s), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        # rows with zero shingles would corrupt reduceat; guard with sentinel
-        safe = lens > 0
-        out = np.full((len(s), num_hashes), _MH_PRIME, dtype=np.int64)
-        if safe.all():
-            out = np.minimum.reduceat(prod, starts, axis=0)
-        else:
-            red = np.minimum.reduceat(prod, starts[safe], axis=0)
-            out[safe] = red
-        return pd.Series(list(out))
+        return pd.Series(list(_minhash_matrix(s, a_vec, b_vec)))
 
     return sig(shingles)
 
@@ -175,19 +206,7 @@ def minhash_band_keys_col(
     @F.pandas_udf("array<long>")
     def bkeys(s: pd.Series) -> pd.Series:
         n = len(s)
-        lens = s.map(len).to_numpy(np.int64)
-        sigm = np.full((n, num_hashes), _MH_PRIME, dtype=np.int64)
-        if lens.sum() > 0:
-            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
-            hp = flat % _MH_PRIME
-            prod = (hp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_PRIME
-            starts = np.zeros(n, dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            safe = lens > 0
-            if safe.all():
-                sigm = np.minimum.reduceat(prod, starts, axis=0)
-            else:
-                sigm[safe] = np.minimum.reduceat(prod, starts[safe], axis=0)
+        sigm = _minhash_matrix(s, a_vec, b_vec)
         sig3 = sigm.reshape(n, bands, rpb).astype(np.uint64)
         h = np.full((n, bands), fnv_offset, dtype=np.uint64)
         for r in range(rpb):
@@ -197,6 +216,32 @@ def minhash_band_keys_col(
     return bkeys(shingles)
 
 
+def _bucket_pairs(banded: DataFrame, cap: int = 64) -> DataFrame:
+    """(band, bkey, did) -> candidate pairs (id_a < id_b) with a hot-bucket
+    guard. Buckets of size <= ``cap`` emit every pair (exact banded-LSH
+    semantics). Larger buckets — boilerplate/empty docs sharing a signature,
+    the quadratic scale-killer at 10^12 rows — emit STAR pairs instead
+    (bucket-min did vs every member): O(m) rows per m-member bucket, and any
+    member that truly near-dups the bucket survives verification against the
+    representative, which is the dedup contract (drop all but one)."""
+    sizes = banded.groupBy("band", "bkey").agg(
+        F.count("*").alias("_bn"), F.min("did").alias("_bmin")
+    )
+    tagged = banded.join(sizes, ["band", "bkey"]).persist()
+    small = tagged.filter(F.col("_bn") <= cap).select("band", "bkey", "did")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.did") < F.col("b.did")),
+    ).select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+    big_pairs = tagged.filter(
+        (F.col("_bn") > cap) & (F.col("did") != F.col("_bmin"))
+    ).select(F.col("_bmin").alias("id_a"), F.col("did").alias("id_b"))
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -204,9 +249,11 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
-    Standard MinHash banding: docs sharing any full band collide."""
+    Standard MinHash banding: docs sharing any full band collide; buckets
+    above ``bucket_cap`` fall back to star pairs (see _bucket_pairs)."""
     df = rebalance(df)
     keys = df.select(
         F.col(id_col).alias("did"),
@@ -216,15 +263,8 @@ def minhash_lsh_candidates(
     )
     banded = keys.select(
         "did", F.posexplode("bkeys").alias("band", "bkey")
-    ).persist()  # self-joined below: persist so the signature UDF runs once
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.did") < F.col("b.did")))
-        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+    ).persist()  # consumed twice (sizes agg + join): signature UDF runs once
+    return _bucket_pairs(banded, cap=bucket_cap)
 
 
 def jaccard_verify(
@@ -307,12 +347,29 @@ def simhash_col(text_col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 32,
+    hamming_max: int = 1,
+    bucket_cap: int = 64,
 ) -> DataFrame:
-    """Near-dup candidates = equality on any 16-bit band of the simhash
-    (catches all pairs within Hamming distance 3 for 4 bands of 16)."""
+    """Near-dup candidates = equality on any simhash band (pigeonhole:
+    64/band_bits bands catch every pair within Hamming distance
+    64/band_bits - 1). Output: (id_a, id_b, hamming), hamming <= hamming_max.
+
+    Defaults are the SCALE configuration: 2 bands of 32 bits -> 2^32 key
+    space per band, so at 10^9 docs the average bucket stays O(1) (16-bit
+    bands cap at 65,536 distinct values per band — every bucket holds ~15k
+    docs at 10^9 and candidate volume goes ~10^12). Wider bands narrow the
+    guaranteed Hamming radius (here <=1); pass band_bits=16, hamming_max=3
+    for the looser small-data behavior. Buckets above ``bucket_cap`` emit
+    star pairs (see _bucket_pairs) — the residual guard for pathological
+    keys (e.g. simhash 0 from empty docs)."""
     df = rebalance(df)
-    d = df.select(F.col(id_col).alias("did"), simhash_col(F.col(text_col)).alias("sh"))
+    d = df.select(
+        F.col(id_col).alias("did"), simhash_col(F.col(text_col)).alias("sh")
+    ).persist()  # joined back onto both pair sides for the hamming distance
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bexpr = F.array(
@@ -324,17 +381,19 @@ def simhash_candidates(
             for bi in range(bands)
         ]
     )
-    banded = d.select("did", "sh", F.explode(bexpr).alias("b")).select(
-        "did", "sh", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    ).persist()  # self-joined: evaluate the simhash UDF once
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.did") < F.col("b.did")))
-        .select(
-            F.col("a.did").alias("id_a"),
-            F.col("b.did").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
-        .distinct()
+    banded = d.select("did", F.explode(bexpr).alias("b")).select(
+        "did", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    return pairs
+    pairs = _bucket_pairs(banded, cap=bucket_cap)
+    sh_a = d.select(F.col("did").alias("id_a"), F.col("sh").alias("_sha"))
+    sh_b = d.select(F.col("did").alias("id_b"), F.col("sh").alias("_shb"))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(hamming_max))
+    )

@@ -238,60 +238,204 @@ def cluster_sizes(df: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
     return df.withColumn("cluster_size", F.count("*").over(w))
 
 
+def tile_explode(df: DataFrame, tile_px: int, halo: int, carry=("z",)) -> DataFrame:
+    """Duplicate each raster cell (gx, gy) into every ``tile_px``-pixel tile
+    whose ``halo``-widened window contains it: home tile always; a neighbor
+    tile only when within ``halo`` pixels of the border facing it (the
+    raster-space twin of functions/cells.explode_halo). Output columns:
+    (htx, hty, gx, gy, *carry)."""
+    tx = F.floor(F.col("gx") / F.lit(tile_px)).cast("long")
+    ty = F.floor(F.col("gy") / F.lit(tile_px)).cast("long")
+    fx = F.col("gx") - tx * F.lit(tile_px)  # in-tile pixel offset [0, tile_px)
+    fy = F.col("gy") - ty * F.lit(tile_px)
+
+    def near(dv: int, f):
+        if dv == 0:
+            return F.lit(True)
+        if dv < 0:
+            return f < F.lit(halo)
+        return f >= F.lit(tile_px - halo)
+
+    structs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            structs.append(
+                F.when(
+                    near(dx, fx) & near(dy, fy),
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")),
+                )
+            )
+    off = F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull()))
+    return (
+        df.withColumn("_tx", tx)
+        .withColumn("_ty", ty)
+        .withColumn("_o", off)
+        .select(
+            (F.col("_tx") + F.col("_o.dx")).alias("htx"),
+            (F.col("_ty") + F.col("_o.dy")).alias("hty"),
+            "gx", "gy", *carry,
+        )
+    )
+
+
 def infill(
     dsm: DataFrame,
     extent: Extent,
     resolution: float,
-    tile_level: int,
+    tile_level: int | None = None,
     max_rounds: int = 8,
+    tile_px: int = 128,
 ) -> DataFrame:
     """G4: iterative void infill. The reference loops rasterio.fillnodata
-    until no nodata pixels remain (preprocess.py:236-259). Here: driver loop;
-    each round fills empty cells that have >=1 filled neighbor with the IDW
-    of their 8-neighborhood, via a self-join of the (sparse) DSM against
-    exploded neighbor offsets. Input/output: (gx, gy, z) with voids simply
-    *absent* (sparse representation — nulls never stored).
+    until no nodata pixels remain (preprocess.py:236-259): each round fills
+    empty cells that have >=1 filled neighbor with the IDW of their filled
+    8-neighborhood. Input/output: (gx, gy, z) with voids simply *absent*
+    (sparse representation — nulls never stored).
 
-    Termination: when a round fills nothing new, or max_rounds. Note at
-    scale: each round shuffles only the *frontier* (cells adjacent to voids),
-    not the full raster, because candidates are anti-joined against filled.
+    ONE Spark job, not a driver loop: cells are tiled into ``tile_px``-pixel
+    squares with a ``max_rounds``-pixel halo (a round-k fill depends only on
+    original cells within Chebyshev distance k, so a halo of max_rounds
+    pixels makes every in-tile iteration exact), and a per-tile kernel runs
+    the whole fill iteration on a dense local array. The previous
+    formulation — a driver loop of (explode-join + anti-join + count) per
+    round — cost dozens of tiny jobs and ~25 s of the coarse-registration
+    stage; this is one shuffle keyed by tile. Voids wider than 2*max_rounds
+    pixels stay void, exactly like the capped loop.
     """
     filled = dsm.select("gx", "gy", "z")
-    # The void set is implicit (sparse); we iterate by growing `filled`
-    # outward one ring at a time within the raster bbox.
     b = filled.agg(
-        F.min("gx").alias("x0"), F.max("gx").alias("x1"), F.min("gy").alias("y0"), F.max("gy").alias("y1")
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"), F.max("gy").alias("y1"),
     ).collect()[0]
-    for _ in range(max_rounds):
+    if b["x0"] is None:
+        return filled
+    bb = (int(b["x0"]), int(b["x1"]), int(b["y0"]), int(b["y1"]))
+    H = int(max_rounds)
+    exploded = tile_explode(filled, tile_px, H)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        x0 = htx * tile_px - H
+        y0 = hty * tile_px - H
+        w = tile_px + 2 * H
+        arr = np.zeros((w, w))
+        have = np.zeros((w, w), dtype=bool)
+        ix = (pdf["gx"].to_numpy() - x0).astype(np.int64)
+        iy = (pdf["gy"].to_numpy() - y0).astype(np.int64)
+        arr[ix, iy] = pdf["z"].to_numpy(np.float64)
+        have[ix, iy] = True
+        # cells outside the global raster bbox must never fill
+        gxs = x0 + np.arange(w)
+        gys = y0 + np.arange(w)
+        in_bb = (
+            ((gxs >= bb[0]) & (gxs <= bb[1]))[:, None]
+            & ((gys >= bb[2]) & (gys <= bb[3]))[None, :]
+        )
         offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-        off = F.explode(
-            F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b_).alias("dy")) for a, b_ in offs])
+        for _ in range(H):
+            num = np.zeros((w, w))
+            den = np.zeros((w, w))
+            for dx, dy in offs:
+                wgt = 1.0 / float(dx * dx + dy * dy)
+                src_x = slice(max(dx, 0), w + min(dx, 0))
+                src_y = slice(max(dy, 0), w + min(dy, 0))
+                dst_x = slice(max(-dx, 0), w + min(-dx, 0))
+                dst_y = slice(max(-dy, 0), w + min(-dy, 0))
+                hv = have[src_x, src_y]
+                num[dst_x, dst_y] += np.where(hv, arr[src_x, src_y], 0.0) * wgt
+                den[dst_x, dst_y] += hv * wgt
+            newly = (~have) & (den > 0) & in_bb
+            if not newly.any():
+                break
+            arr[newly] = num[newly] / den[newly]
+            have |= newly
+        core = np.zeros((w, w), dtype=bool)
+        core[H : H + tile_px, H : H + tile_px] = True
+        ex, ey = np.nonzero(have & core)
+        return pd.DataFrame(
+            {"gx": ex + x0, "gy": ey + y0, "z": arr[ex, ey]}
         )
-        cand = (
-            filled.withColumn("_o", off)
-            .select(
-                (F.col("gx") + F.col("_o.dx")).alias("gx"),
-                (F.col("gy") + F.col("_o.dy")).alias("gy"),
-                F.col("z").alias("nz"),
-                (F.col("_o.dx") * F.col("_o.dx") + F.col("_o.dy") * F.col("_o.dy"))
-                .cast("double")
-                .alias("d2"),
-            )
-            .filter(
-                (F.col("gx") >= b["x0"]) & (F.col("gx") <= b["x1"])
-                & (F.col("gy") >= b["y0"]) & (F.col("gy") <= b["y1"])
-            )
+
+    return exploded.groupBy("htx", "hty").applyInPandas(
+        kernel, schema="gx long, gy long, z double"
+    )
+
+
+def _gauss_kernel1d(sigma: float) -> np.ndarray:
+    r = max(1, int(math.ceil(4.0 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_conv(a: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2D convolution with zero padding (mask-normalized by the
+    caller, so the padding convention washes out)."""
+    r = (len(k) - 1) // 2
+    ap = np.pad(a, ((r, r), (0, 0)))
+    out = np.zeros_like(a)
+    for i, w in enumerate(k):
+        out += w * ap[i : i + a.shape[0], :]
+    ap = np.pad(out, ((0, 0), (r, r)))
+    out2 = np.zeros_like(a)
+    for i, w in enumerate(k):
+        out2 += w * ap[:, i : i + a.shape[1]]
+    return out2
+
+
+def band_pass(
+    dsm: DataFrame,
+    weak_sigma_px: float,
+    strong_sigma_px: float,
+    tile_px: int = 256,
+) -> DataFrame:
+    """Gaussian band-pass of a (gx, gy, z) raster: weak-blur minus
+    strong-blur, the reference's _normalize pre-step (preprocess.py:272-279:
+    ``bandpassed = weak_filtered - strong_filtered`` with sigmas =
+    filter-size / pixel-scale). Suppresses long-wavelength topography so
+    keypoints don't all collapse onto ridgelines.
+
+    Distributed as one tiled kernel job (tile + 4*sigma_strong halo — a
+    Gaussian truncated at 4 sigma is exact within the halo); blurs are
+    mask-normalized so raster edges and any residual voids renormalize over
+    valid pixels instead of bleeding zeros. Output: (gx, gy, z, bp).
+    """
+    halo = max(1, int(math.ceil(4.0 * strong_sigma_px)) + 1)
+    kw = _gauss_kernel1d(weak_sigma_px)
+    ks = _gauss_kernel1d(strong_sigma_px)
+    exploded = tile_explode(dsm.select("gx", "gy", "z"), tile_px, halo)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        x0 = htx * tile_px - halo
+        y0 = hty * tile_px - halo
+        w = tile_px + 2 * halo
+        arr = np.zeros((w, w))
+        m = np.zeros((w, w))
+        ix = (pdf["gx"].to_numpy() - x0).astype(np.int64)
+        iy = (pdf["gy"].to_numpy() - y0).astype(np.int64)
+        z = pdf["z"].to_numpy(np.float64)
+        arr[ix, iy] = z
+        m[ix, iy] = 1.0
+        out = {}
+        for name, k in (("wk", kw), ("st", ks)):
+            num = _sep_conv(arr * m, k)
+            den = _sep_conv(m, k)
+            out[name] = np.where(den > 1e-12, num / np.maximum(den, 1e-12), 0.0)
+        bp = out["wk"] - out["st"]
+        core = (ix >= halo) & (ix < halo + tile_px) & (iy >= halo) & (iy < halo + tile_px)
+        return pd.DataFrame(
+            {
+                "gx": pdf["gx"].to_numpy()[core],
+                "gy": pdf["gy"].to_numpy()[core],
+                "z": z[core],
+                "bp": bp[ix[core], iy[core]],
+            }
         )
-        new = (
-            cand.join(filled.select("gx", "gy"), ["gx", "gy"], "left_anti")
-            .groupBy("gx", "gy")
-            .agg((F.sum(F.col("nz") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2"))).alias("z"))
-        )
-        n_new = new.count()
-        if n_new == 0:
-            break
-        filled = filled.unionByName(new).localCheckpoint(eager=True)
-    return filled
+
+    return exploded.groupBy("htx", "hty").applyInPandas(
+        kernel, schema="gx long, gy long, z double, bp double"
+    )
 
 
 def colormap_encode(

@@ -50,22 +50,33 @@ def auto_level(
     n_rows: int | None,
     target_per_tile: int = 1500,
     max_level: int = 16,
+    parallelism: int | None = None,
 ) -> int:
     """Tile level for a kNN/radius join: bounded above by the radius rule
     (cell edge >= radius so a 1-ring halo provably covers the search ball)
-    AND by the data size (≈target_per_tile rows per tile).
+    AND by the data size (≈target_per_tile rows per tile), with a floor of
+    ~4x ``parallelism`` tiles so the cogroup stage can actually use every
+    task slot (rows permitting).
 
     The count bound matters: a level chosen from radius alone can produce
     far more tiles than rows, and per-tile kernel overhead (one Arrow batch
     + pandas invocation per cogroup key) then dominates (observed 37 s vs
-    ~2 s on an 18k-point join). Coarser tiles are always CORRECT — cell
-    edge only grows past the radius bound — they just trade per-tile
-    vectorized work for fewer invocations.
+    ~2 s on an 18k-point join). The parallelism floor matters just as much
+    the other way: at level L there are at most 4^L tiles, and a level
+    chosen from row count alone can strand most of a cluster (observed:
+    level 1 -> 4 cogroup groups on 32 cores). Any level <= the radius bound
+    is CORRECT — this only tunes parallelism vs per-tile overhead.
     """
     lr = level_for_radius(extent, radius, max_level)
     if not n_rows or n_rows <= 0:
         return lr
     lc = max(1, int(0.5 * math.log2(max(n_rows / target_per_tile, 1.0))))
+    if parallelism and parallelism > 0:
+        # enough tiles to fill 4x the task slots, but never so fine that
+        # average occupancy drops below ~64 rows/tile
+        lp = int(math.ceil(0.5 * math.log2(max(4.0 * parallelism, 1.0))))
+        lcap = int(0.5 * math.log2(max(n_rows / 64.0, 1.0)))
+        lc = max(lc, min(lp, lcap))
     return min(lr, lc)
 
 
@@ -236,7 +247,8 @@ def knn_join(
     Output columns: lid, n_<rid>, nn_dist, nn_rank, l_<carry...>, r_<carry...>.
     """
     if level is None:
-        level = auto_level(extent, radius / max(ring, 1), left.count())
+        par = left.sparkSession.sparkContext.defaultParallelism
+        level = auto_level(extent, radius / max(ring, 1), left.count(), parallelism=par)
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
     rh = cells.explode_halo(
@@ -285,26 +297,37 @@ def radius_join(
     rid: str = "pid",
     ring: int = 1,
     level: int | None = None,
+    cross_tile_only: bool = False,
 ) -> DataFrame:
     """ALL pairs within ``radius`` (not top-k) — the distance-join used for
     clustering edges (J8) and IDW neighborhoods. Same tile+halo plan as
     knn_join; kernel emits every within-radius pair exactly once (each right
-    row lands in a given halo cell once, each left row has one home cell)."""
+    row lands in a given halo cell once, each left row has one home cell).
+
+    cross_tile_only=True keeps only pairs whose endpoints live in DIFFERENT
+    tiles — the connected-components edge mode: intra-tile connectivity is
+    already resolved by the in-tile kernel, so emitting intra-tile pairs
+    again would make a dense m-point blob cost m² edge rows at the shuffle.
+    """
     if level is None:
-        level = auto_level(extent, radius / max(ring, 1), left.count())
-    r2 = radius * radius
+        par = left.sparkSession.sparkContext.defaultParallelism
+        level = auto_level(extent, radius / max(ring, 1), left.count(), parallelism=par)
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
     rh = cells.explode_halo(
         rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
-    ).drop("_ix", "_iy", "cell_id")
+    ).drop("_ix", "_iy")
     lsel = lc.select("cell_id", lid, *dims)
+    home = [F.col("cell_id").alias("_r_home")] if cross_tile_only else []
     rsel = rh.select(
         F.col("halo_cell").alias("cell_id"),
+        *home,
         *[F.col(c).alias(f"_r_{c}") for c in dict.fromkeys([rid, *dims])],
     )
 
-    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if cross_tile_only and len(rpdf):
+            rpdf = rpdf[rpdf["_r_home"].to_numpy() != key[0]]
         rpdf = rpdf.rename(columns={c: c[3:] for c in rpdf.columns if c.startswith("_r_")})
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({lid: [], "n_" + rid: [], "nn_dist": []})
@@ -321,7 +344,7 @@ def radius_join(
     return (
         lsel.groupBy("cell_id")
         .cogroup(rsel.groupBy("cell_id"))
-        .applyInPandas(lambda _k, l, r: kernel(l, r), schema=out_schema)
+        .applyInPandas(kernel, schema=out_schema)
     )
 
 
@@ -330,7 +353,7 @@ def knn_join_complete(
     right: DataFrame,
     extent: Extent,
     radius: float,
-    max_rounds: int = 6,
+    max_rounds: int = 8,
     escalate: float = 4.0,
     **kw,
 ) -> DataFrame:
@@ -338,19 +361,49 @@ def knn_join_complete(
     escalating radius over the unmatched residual — distributed stand-in for
     the reference's unbounded KDTree.query (icp.py:235-241). Each round the
     residual shrinks (typically exponentially), so total cost ~ one bounded
-    join plus noise."""
+    join plus noise.
+
+    ``radius`` is the FIRST round's search radius — a pure performance knob
+    (escalation makes the result radius-unbounded). Small starting radii win
+    twice: the halo duplication is narrow AND the radius rule admits a fine
+    tile level (high kernel parallelism); late rounds run on tiny residuals
+    where a wide halo is cheap.
+
+    Both inputs are localCheckpoint-ed here so an expensive upstream (scan +
+    distinct, a registration output, ...) is materialized exactly once
+    instead of once per round per side, and each round's match is
+    checkpointed so the final union does not recompute every cogroup.
+    """
     lid = kw.get("lid", "pid")
     kw = {**kw, "k": 1}
-    result = None
-    residual = left
+    par = left.sparkSession.sparkContext.defaultParallelism
+    right = right.localCheckpoint(eager=True)
+    n_right = right.count()
+    residual = left.localCheckpoint(eager=True)
+    n_res = residual.count()
+    rounds: list[DataFrame] = []
     r = radius
     for _ in range(max_rounds):
-        matched = knn_join(residual, right, extent, r, **kw)
-        result = matched if result is None else result.unionByName(matched)
-        residual = residual.join(matched.select(lid), on=lid, how="left_anti")
-        # localCheckpoint keeps the lineage flat across driver-loop rounds
-        residual = residual.localCheckpoint(eager=True)
-        if residual.isEmpty():
-            return result
+        # halo-covers-radius invariant: even a caller-pinned level must
+        # coarsen as the radius escalates (cell edge >= radius/ring)
+        lr = level_for_radius(extent, r / max(kw.get("ring", 1), 1))
+        level = min(
+            kw.get("level")
+            or auto_level(extent, r / max(kw.get("ring", 1), 1), n_res, parallelism=par),
+            lr,
+        )
+        matched = knn_join(
+            residual, right, extent, r, **{**kw, "level": level}
+        ).localCheckpoint(eager=True)
+        rounds.append(matched)
+        residual = residual.join(
+            matched.select(lid), on=lid, how="left_anti"
+        ).localCheckpoint(eager=True)
+        n_res = residual.count()
+        if n_res == 0 or n_right == 0:
+            break
         r *= escalate
+    result = rounds[0]
+    for m in rounds[1:]:
+        result = result.unionByName(m)
     return result

@@ -155,6 +155,12 @@ def extract_features(
     at the keypoint cell (the reference samples the same DSM,
     dsm.py:335-384).
     """
+    # optional det_u8 plane: keypoints are DETECTED on it (band-passed DSM,
+    # pipeline._prep_dsm) while descriptors sample z_u8 (full-band). Falls
+    # back to z_u8 for both when absent.
+    has_det = "det_u8" in dsm.columns
+    if not has_det:
+        dsm = dsm.withColumn("det_u8", F.col("z_u8"))
     tx = F.floor(F.col("gx") / F.lit(TILE))
     ty = F.floor(F.col("gy") / F.lit(TILE))
     base = dsm.withColumn("tx", tx).withColumn("ty", ty)
@@ -176,7 +182,7 @@ def extract_features(
         & (F.col("gy") < (nty + 1) * TILE + HALO)
     )
     tiled = e.filter(in_win).select(
-        ntx.alias("tx"), nty.alias("ty"), "gx", "gy", "z", "z_u8"
+        ntx.alias("tx"), nty.alias("ty"), "gx", "gy", "z", "z_u8", "det_u8"
     )
 
     def kernel(key, pdf):
@@ -185,14 +191,16 @@ def extract_features(
         y0p = ty_ * TILE - HALO
         w = TILE + 2 * HALO
         img = np.zeros((w, w), dtype=np.float64)
+        det = np.zeros((w, w), dtype=np.float64)
         valid = np.zeros((w, w), dtype=bool)
         rr = pdf["gy"].to_numpy() - y0p
         cc = pdf["gx"].to_numpy() - x0p
         img[rr, cc] = pdf["z_u8"].to_numpy(np.float64)
+        det[rr, cc] = pdf["det_u8"].to_numpy(np.float64)
         valid[rr, cc] = True
         zs = np.zeros((w, w), dtype=np.float64)
         zs[rr, cc] = pdf["z"].to_numpy(np.float64)
-        kps = harris_keypoints(img, valid, max_kp=max_kp_per_tile)
+        kps = harris_keypoints(det, valid, max_kp=max_kp_per_tile)
         if len(kps):
             # keep only keypoints whose center lies in the tile core
             core = (

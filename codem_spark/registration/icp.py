@@ -51,7 +51,8 @@ def compute_normals(
     filters.normal knn=9, preprocess.py:317-350). Tile+halo cogroup kernel;
     normals oriented +z (the reference's convention for DSM-derived clouds).
     Output: (pid, x, y, z, nx, ny, nz)."""
-    level = knn.auto_level(extent, radius, points.count())
+    par = points.sparkSession.sparkContext.defaultParallelism
+    level = knn.auto_level(extent, radius, points.count(), parallelism=par)
     q = cells.with_cell(points.select(pid, "x", "y", "z"), "x", "y", extent, level).drop(
         "_ix", "_iy"
     )
@@ -244,7 +245,10 @@ def fine_registration(
 
     moving_base = moving.select("pid", "x", "y", "z").persist()
     n_moving = moving_base.count()
-    join_level = knn.auto_level(c_extent, radius, n_moving)
+    join_level = knn.auto_level(
+        c_extent, radius, n_moving,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
     alpha, tau = 2.0, 0.6  # reference icp.py:128-130
     beta = resolution / 2.0 + 0.5

@@ -43,17 +43,42 @@ class PreprocessResult:
     resolution: float
 
 
-def _prep_dsm(points: DataFrame, extent: Extent, resolution: float) -> DataFrame:
-    """points -> infilled, normalized DSM tile table (the reference's
-    GeoData.prep: _infill -> _normalize, preprocess.py:360-373).
+def _prep_dsm(
+    points: DataFrame, extent: Extent, resolution: float, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """points -> infilled, band-passed, normalized DSM tile table (the
+    reference's GeoData.prep: _infill -> _normalize, preprocess.py:360-373):
+    grid-max -> void infill -> weak-minus-strong Gaussian band-pass
+    (preprocess.py:272-279, sigmas = dsm_weak_filter/dsm_strong_filter
+    scaled from meters to pixels) -> percentile clip + uint8 quantize.
 
     exact percentiles, NOT approxQuantile: GK sketches depend on partition
     layout, so the quantized DSM (hence keypoints, hence n_pairs) would
     differ between cluster sizes — the north rule demands identical
     outputs. The DSM is already resolution-reduced, so exact is cheap."""
+    cfg = cfg or EngineConfig()
     dsm = grid.grid_max(points, extent, resolution)
-    filled = grid.infill(dsm, extent, resolution, tile_level=8)
-    return grid.quantize_normalize(filled, "z", exact=True)
+    filled = grid.infill(dsm, extent, resolution)
+    # weak sigma floors at 1 px: below that the "weak" blur is a no-op and
+    # the band-pass keeps per-cell sampling noise (grid_max of a random
+    # point draw), which destabilizes keypoint detection
+    bp = grid.band_pass(
+        filled,
+        weak_sigma_px=max(cfg.dsm_weak_filter / resolution, 1.0),
+        strong_sigma_px=cfg.dsm_strong_filter / resolution,
+    )
+    # Two quantized planes: det_u8 (band-passed) drives keypoint DETECTION —
+    # suppressing long-wavelength relief so keypoints don't collapse onto
+    # ridgelines, the reference's stated reason for _normalize
+    # (preprocess.py:261-283) — while z_u8 (raw) drives DESCRIPTION: binary
+    # patch descriptors sampled on band-passed (high-frequency-only) content
+    # flip bits under half-pixel resampling (measured: RANSAC inliers
+    # 121 -> 4 on a 2.5 px translation), whereas the full-band surface is
+    # stable. The reference's multi-scale float AKAZE descriptor tolerates
+    # band-passed input; a single-scale binary descriptor does not.
+    q = grid.quantize_normalize(bp, "bp", exact=True)
+    q = grid.quantize_normalize(q, "z", exact=True)
+    return q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8"))
 
 
 def estimate_pipeline_resolution(
@@ -87,8 +112,8 @@ def preprocess(
     if resolution is None:
         resolution = estimate_pipeline_resolution(fnd_points, aoi_points, extent, cfg)
     resolution = max(resolution, cfg.min_resolution)
-    fnd_dsm = _prep_dsm(fnd_points, extent, resolution).persist()
-    aoi_dsm = _prep_dsm(aoi_points, extent, resolution).persist()
+    fnd_dsm = _prep_dsm(fnd_points, extent, resolution, cfg).persist()
+    aoi_dsm = _prep_dsm(aoi_points, extent, resolution, cfg).persist()
     return PreprocessResult(fnd_points, aoi_points, fnd_dsm, aoi_dsm, extent, resolution)
 
 
@@ -108,12 +133,22 @@ def fine_registration_stage(
 ) -> RegistrationParameters:
     cfg = cfg or EngineConfig()
     initial = np.array(coarse_params.matrix, dtype=np.float64)
-    fnd = prep.fnd_points.select(
-        F.monotonically_increasing_id().alias("pid"), "x", "y", "z"
-    ) if "pid" not in prep.fnd_points.columns else prep.fnd_points.select("pid", "x", "y", "z")
-    aoi = prep.aoi_points.select(
-        F.monotonically_increasing_id().alias("pid"), "x", "y", "z"
-    ) if "pid" not in prep.aoi_points.columns else prep.aoi_points.select("pid", "x", "y", "z")
+
+    def _with_pid(df: DataFrame) -> DataFrame:
+        if "pid" in df.columns:
+            return df.select("pid", "x", "y", "z")
+        # content hash, NOT monotonically_increasing_id: ids must be a pure
+        # function of the row so the engine's (dist, id) kNN tie-break stays
+        # identical across partitionings / cluster sizes (knn.py docstring)
+        return df.select(
+            F.xxhash64(
+                F.col("x").cast("double"), F.col("y").cast("double"), F.col("z").cast("double")
+            ).alias("pid"),
+            "x", "y", "z",
+        )
+
+    fnd = _with_pid(prep.fnd_points)
+    aoi = _with_pid(prep.aoi_points)
     # kNN bound from the coarse RMSE, exactly as the reference bounds the
     # ICP search (icp.py:75,133-135)
     bound = max(coarse_params.rmse_3d, prep.resolution)
@@ -171,13 +206,32 @@ def register(
     extent: Extent | None = None,
     cfg: EngineConfig | None = None,
     resolution: float | None = None,
+    fnd_units: str | float = 1.0,
+    aoi_units: str | float = 1.0,
 ) -> tuple[RegistrationParameters, RegistrationParameters, DataFrame]:
-    """Full pipeline: returns (coarse, fine, registered AOI DataFrame)."""
+    """Full pipeline: returns (coarse, fine, registered AOI DataFrame).
+
+    F3 unit handling (reference preprocess.py:486-512, apply.py:116-123):
+    ``fnd_units``/``aoi_units`` are linear-unit names ("m", "ft", "us-ft")
+    or numeric meters-per-unit factors. Inputs are scaled to meters before
+    registration (the solve is only valid in meters); the returned fine
+    parameters carry ``matrix_native`` mapping AOI native units straight to
+    foundation native units, and the registered AOI DataFrame is expressed
+    in FOUNDATION native units. ``extent``, if given, is in meters.
+    """
+    from codem_spark.functions import crs
+
     cfg = cfg or EngineConfig()
-    prep = preprocess(fnd_points, aoi_points, extent, cfg, resolution)
+    ff = crs.units_factor(fnd_units) if isinstance(fnd_units, str) else float(fnd_units)
+    af = crs.units_factor(aoi_units) if isinstance(aoi_units, str) else float(aoi_units)
+    fnd_m = crs.scale_to_meters(fnd_points, ff) if ff != 1.0 else fnd_points
+    aoi_m = crs.scale_to_meters(aoi_points, af) if af != 1.0 else aoi_points
+    prep = preprocess(fnd_m, aoi_m, extent, cfg, resolution)
     c = coarse_registration(prep, cfg)
     f = fine_registration_stage(prep, c, cfg)
-    out = apply_registration(aoi_points, f)
+    native = crs.registration_to_native(np.array(f.matrix, np.float64), ff, af)
+    f.matrix_native = native.tolist()
+    out = apply_transform_cols(aoi_points, native)
     prep.fnd_dsm.unpersist()
     prep.aoi_dsm.unpersist()
     return c, f, out

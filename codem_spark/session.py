@@ -47,15 +47,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # local mode: the driver heap IS the executor heap — size it for the
-        # thread count (32 task threads on 8g thrash GC; the box has 128 GiB)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: the driver heap IS the executor heap. Measured on the
+        # scaling workload (scripts/diag_agg.py): a 48g heap with ParallelGC
+        # made a pure-JVM hash agg 8x SLOWER at local[32] than local[8]
+        # (GC threads x huge young gen thrash); G1 (the JVM default) with a
+        # heap sized to the task-thread count is uniformly fastest. ~1 GiB
+        # per task thread + 8 GiB base fits every sf0.1 stage with headroom.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{min(8 + cpus, 40)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # throughput GC: the default G1 showed multi-second pauses at high
-        # task counts on shuffle-heavy stages; ParallelGC trades latency for
-        # the throughput these batch jobs want
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")

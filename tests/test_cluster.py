@@ -36,3 +36,59 @@ def test_cluster_min_points_filter(spark, blob_points):
     counts = labelled.groupby("cluster_id").size()
     assert (counts >= 30).all()
     assert len(counts) == 3  # the three blobs (isolated stragglers culled)
+
+
+def test_dense_blob_emits_no_interior_edges(spark):
+    """A dense blob strictly inside one tile contributes ZERO cross-tile
+    edge rows (was ~m^2 before cross_tile_only): the in-tile kernel resolves
+    it alone, so the edge pass stays O(boundary) at scale."""
+    import pandas as pd
+    from codem_spark.functions import cells
+    from codem_spark.operators import knn
+
+    rng = np.random.default_rng(3)
+    m = 2000
+    tol = 3.0
+    level = 4  # 16x16 tiles of 62.5 m over SMALL_EXTENT
+    size = cells.cell_size(SMALL_EXTENT, level)
+    # blob centered mid-tile, radius << distance to any border
+    cx = 5 * size + size / 2
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(m),
+            "x": cx + rng.uniform(-5, 5, m),
+            "y": cx + rng.uniform(-5, 5, m),
+            "z": np.zeros(m),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    tiled = cells.with_cell(df, "x", "y", SMALL_EXTENT, level)
+    border = cells.border_band(tiled, SMALL_EXTENT, level, tol).select("pid", "x", "y", "z")
+    assert border.count() == 0  # interior blob: nothing near a tile border
+    edges = knn.radius_join(
+        border, border, SMALL_EXTENT, radius=tol, level=level, cross_tile_only=True
+    )
+    assert edges.count() == 0
+    # and the full operator still clusters the blob exactly as one component
+    got = cluster.euclidean_cluster(df, SMALL_EXTENT, tolerance=tol, min_points=2).toPandas()
+    assert (got.cluster_id == 0).all()
+
+
+def test_cross_tile_chain_still_connects(spark):
+    """A chain of points crossing a tile border must still merge into one
+    cluster through the border-band edge pass."""
+    import pandas as pd
+    from codem_spark.functions import cells
+
+    level_size = cells.cell_size(SMALL_EXTENT, 4)
+    xb = 3 * level_size  # a tile border
+    xs = np.arange(xb - 10, xb + 10, 1.0)
+    pdf = pd.DataFrame({"pid": np.arange(len(xs)), "x": xs, "y": np.full(len(xs), 40.0), "z": 0.0})
+    got = (
+        cluster.euclidean_cluster(
+            spark.createDataFrame(pdf), SMALL_EXTENT, tolerance=1.5, min_points=2
+        )
+        .toPandas()
+        .sort_values("pid")
+    )
+    assert (got.cluster_id == 0).all()

@@ -67,3 +67,31 @@ def test_simhash_hamming_zero_for_identical(spark):
     ident = cands[(cands.id_b - cands.id_a) == 100_000]
     assert (ident.hamming == 0).all()
     assert len(ident) >= 15
+
+
+def test_hot_bucket_guard_bounds_candidates(spark):
+    """Planted skew: thousands of near-identical docs share every LSH band.
+    The hot-bucket guard must emit O(m) star pairs, not m^2/2, and still
+    link every copy to the representative (dedup-complete)."""
+    m = 20_000
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated across the web corpus").alias("text"),
+    )
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
+    n = cands.count()
+    assert n == m - 1  # star: every doc pairs with the bucket-min (doc 0)
+    ids = cands.agg(F.min("id_a"), F.max("id_a")).collect()[0]
+    assert ids[0] == 0 and ids[1] == 0
+
+
+def test_bucket_guard_small_buckets_exact(spark):
+    """Buckets at or under the cap keep exact all-pairs banded-LSH output."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    alld = docs.unionByName(dups)
+    small_cap = dedup.minhash_lsh_candidates(alld, bucket_cap=1_000_000).toPandas()
+    default_cap = dedup.minhash_lsh_candidates(alld).toPandas()
+    a = set(zip(small_cap.id_a, small_cap.id_b))
+    b = set(zip(default_cap.id_a, default_cap.id_b))
+    assert a == b

@@ -69,7 +69,7 @@ def test_rows_only_queries_run(spark, name):
     q = entrymod.queries()[name]
     df = q(spark, SF)
     n = df.count()
-    assert n >= 0
+    assert n > 0, f"{name} must not pass vacuously on an empty result"
     if name == "text_extract":
         pdf = df.toPandas()
         assert (pdf.n == pdf.n_ok).all()  # byte-identical invariant

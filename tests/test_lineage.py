@@ -48,3 +48,39 @@ def test_run_stage_resume_skips_recompute(spark, tmp_path):
     assert ms and ms[-1]["row_count"] == 50
     assert ms[-1]["n_partitions"] >= 1
     assert sum(p["rows"] for p in ms[-1]["partition_metrics"]) == 50
+
+
+def test_quantized_point_roundtrip(spark, tmp_path):
+    """S9 (reference apply.py:343-353): scale/offset int quantization with
+    manifest-carried parameters; roundtrip error bounded by scale/2."""
+    import numpy as np
+    import pandas as pd
+    from codem_spark.io import tables
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(5000),
+            "x": rng.uniform(500_000, 501_000, 5000),
+            "y": rng.uniform(4_420_000, 4_421_000, 5000),
+            "z": rng.uniform(1000, 1200, 5000),
+        }
+    )
+    path = str(tmp_path / "quant_pts")
+    m = tables.quantized_point_write(spark.createDataFrame(pdf), path)
+    q = m["properties"]["point_quantization"]
+    assert q["scales"]["x"] == 0.01 and q["offsets"]["x"] == 500_000.0
+    # stored columns are integers
+    raw = spark.read.parquet(path)
+    assert dict(raw.dtypes)["x"] == "int"
+    back = tables.quantized_point_read(spark, path).toPandas().sort_values("pid")
+    for a in ("x", "y", "z"):
+        err = np.abs(back[a].values - pdf.sort_values("pid")[a].values)
+        assert err.max() <= 0.01 / 2 + 1e-9, a
+    # explicit offsets/scales are honored
+    path2 = str(tmp_path / "quant_pts2")
+    m2 = tables.quantized_point_write(
+        spark.createDataFrame(pdf), path2, offsets=(500_000, 4_420_000, 0), scales=(0.001, 0.001, 0.001)
+    )
+    back2 = tables.quantized_point_read(spark, path2).toPandas().sort_values("pid")
+    assert np.abs(back2.z.values - pdf.sort_values("pid").z.values).max() <= 0.0005 + 1e-9

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from codem_spark.config import EngineConfig
 from codem_spark.functions.geo import decompose_similarity, similarity_matrix
@@ -131,3 +132,103 @@ def test_apply_registration_roundtrip(spark, clouds):
     out = P.apply_registration(spark.createDataFrame(aoi), params).toPandas()
     merged = out.merge(aoi0, on="pid", suffixes=("_r", "_o"))
     assert np.allclose(merged[["x_r", "y_r", "z_r"]].values, merged[["x_o", "y_o", "z_o"]].values, atol=1e-9)
+
+
+def test_register_feet_aoi_recovers_in_native_units(spark, clouds):
+    """F3 (reference preprocess.py:486-512 + apply.py:116-123): an AOI
+    delivered in feet registers against a meters foundation; the returned
+    matrix_native maps feet -> foundation meters directly."""
+    fnd, aoi0 = clouds
+    M = CASES["translate_x10"]
+    aoi_m = _perturb(aoi0, M)
+    ft = 0.3048
+    aoi_ft = aoi_m.copy()
+    for c in ("x", "y", "z"):
+        aoi_ft[c] = aoi_ft[c] / ft
+    cfg = EngineConfig(min_resolution=RES, icp_max_iter=10)
+    c, f, out = P.register(
+        spark.createDataFrame(fnd),
+        spark.createDataFrame(aoi_ft),
+        extent=EXT,
+        cfg=cfg,
+        resolution=RES,
+        fnd_units="m",
+        aoi_units="ft",
+    )
+    assert f.matrix_native is not None
+    # native matrix applied to the feet AOI must land on the meters truth
+    native = np.array(f.matrix_native)
+    A = np.column_stack([aoi_ft.x, aoi_ft.y, aoi_ft.z, np.ones(len(aoi_ft))]) @ native.T
+    err = np.sqrt(((A[:, :3] - aoi0[["x", "y", "z"]].values) ** 2).sum(1))
+    assert np.median(err) < 0.5  # sub-resolution in meters
+    # and the returned DataFrame is already in foundation units
+    got = out.toPandas().sort_values("pid").reset_index(drop=True)
+    exp = aoi0.sort_values("pid").reset_index(drop=True)
+    assert np.median(np.abs(got.x.values - exp.x.values)) < 0.5
+
+
+def test_area_point_transforms_differ_by_half_pixel(spark, clouds):
+    """A4 end-to-end (reference tests/test_registration.py:233-257): the
+    SAME AOI raster interpreted Area vs Point yields coarse+fine transforms
+    whose translations differ by exactly the half-pixel shift dsm_to_points
+    applies (+0.5 px in x and y — preprocess.py:304-306)."""
+    from codem_spark.operators import grid
+
+    fnd, aoi0 = clouds
+    shift = np.eye(4)
+    shift[:3, 3] = (12.0, -8.0, 1.0)
+    aoi = _perturb(aoi0, shift)
+    raster = grid.grid_max(
+        spark.createDataFrame(aoi), EXT, RES
+    ).persist()
+    cfg = EngineConfig(min_resolution=RES, icp_max_iter=10)
+    results = {}
+    for tag in ("Area", "Point"):
+        pts = grid.dsm_to_points(raster, EXT, RES, tag).withColumn(
+            "pid", F.xxhash64("x", "y", "z")
+        )
+        prep = P.preprocess(
+            spark.createDataFrame(fnd), pts, extent=EXT, cfg=cfg, resolution=RES
+        )
+        c = P.coarse_registration(prep, cfg)
+        f = P.fine_registration_stage(prep, c, cfg)
+        prep.fnd_dsm.unpersist()
+        prep.aoi_dsm.unpersist()
+        results[tag] = (np.array(c.matrix), np.array(f.matrix))
+    raster.unpersist()
+    half = 0.5 * RES
+    # Engine-adapted contract: both taggings rasterize to the IDENTICAL DSM
+    # (grid_max re-bins the points onto the same cells), so the coarse
+    # matrices are bit-identical; the half-pixel difference surfaces in the
+    # FINE stage, which sees the actual point coordinates — Area points =
+    # Point points + (half, half), so the fine translations differ by
+    # exactly that vector (the reference's one-pixel assertion, expressed
+    # for a point-cloud-input pipeline).
+    d_coarse = results["Point"][0][:2, 3] - results["Area"][0][:2, 3]
+    assert np.allclose(d_coarse, [0.0, 0.0], atol=1e-9), d_coarse
+    d_fine = results["Point"][1][:2, 3] - results["Area"][1][:2, 3]
+    assert np.allclose(d_fine, [half, half], atol=0.25), d_fine
+
+
+def test_bandpass_keeps_keypoints_under_big_relief(spark):
+    """The reason _normalize exists (reference preprocess.py:261-283): on a
+    scene with large low-frequency relief, quantizing raw z squashes local
+    structure into a handful of codes and keypoints collapse onto
+    ridgelines. With the band-pass detection plane, keypoint counts on a
+    200 m-relief scene stay comparable to the flat scene."""
+    from codem_spark.registration import features
+
+    rng = np.random.default_rng(13)
+    n = 80_000
+    x = rng.uniform(0, 1000, n)
+    y = rng.uniform(0, 1000, n)
+    flat = _surface(x, y)
+    relief = flat + 200.0 * np.sin(x * 2 * np.pi / 1500.0) * np.cos(y * 2 * np.pi / 1800.0)
+    cfg = EngineConfig(min_resolution=RES)
+    counts = {}
+    for name, z in (("flat", flat), ("relief", relief)):
+        pts = spark.createDataFrame(pd.DataFrame({"pid": np.arange(n), "x": x, "y": y, "z": z}))
+        dsm = P._prep_dsm(pts, EXT, RES, cfg)
+        counts[name] = features.extract_features(dsm, EXT, RES).count()
+    assert counts["relief"] >= 0.5 * counts["flat"], counts
+    assert counts["relief"] > 200, counts
