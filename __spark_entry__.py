@@ -221,6 +221,34 @@ def _q_idw_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", F.round("z", 5).alias("z_interp"))
 
 
+def _q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: Snyder transverse-Mercator forward projection of derived lon/lat
+    (zone 13N) — pure JVM column expressions, SQL-oracled (rounded to cm;
+    the Spark/DuckDB libm difference is ~1e-10 m)."""
+    from codem_spark.functions import crs, geo
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pid")
+    base = li.select(pid).distinct()
+    lon = F.lit(-108.0) + geo.id_lane_col(F.col("pid"), 0) * F.lit(6.0)
+    lat = F.lit(35.0) + geo.id_lane_col(F.col("pid"), 1) * F.lit(10.0)
+    e, n = crs.utm_project_cols(lon, lat, zone=13)
+    return base.select(
+        "pid", F.round(e, 2).alias("easting"), F.round(n, 2).alias("northing")
+    )
+
+
+def _q_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: diverging two-slope colormap encode of a derived dz column —
+    pure column expressions (reference vcd/preprocessing/preprocess.py:330-355)."""
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    dz = pts.select("pid", ((F.col("z") - F.lit(50.0)) / F.lit(10.0)).alias("dz"))
+    out = grid.colormap_encode(dz, "dz", vmin=-5.0, vcenter=0.0, vmax=5.0)
+    return out.select("pid", "red", "green", "blue")
+
+
 def _q_tpch_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -378,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "cosine_topk": _q_cosine_topk,
         "idw_resample": _q_idw_resample,
+        "utm_project": _q_utm_project,
+        "colormap": _q_colormap,
         "tpch_grid_agg": _q_tpch_grid_agg,
         "quantize": _q_quantize,
         # rows-only (non-SQL-expressible: hashed sketches / iterative solvers)
@@ -484,6 +514,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, d_id, rank FROM ranked WHERE rank <= 3""",
         "idw_resample": _idw_resample_oracle_sql(),
+        "utm_project": _utm_project_oracle_sql(),
+        "colormap": _colormap_oracle_sql(),
         "tpch_grid_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -524,6 +556,37 @@ def _idw_resample_oracle_sql() -> str:
       FROM queries q LEFT JOIN agg a ON q.id = a.pid
     )
     SELECT pid, round(z, 5) AS z_interp FROM allq
+    """
+
+
+def _utm_project_oracle_sql() -> str:
+    from codem_spark.functions.crs import utm_project_sql
+    from codem_spark.functions.geo import id_lane_sql
+
+    lon = f"(-108.0 + ({id_lane_sql('pid', 0)}) * 6.0)"
+    lat = f"(35.0 + ({id_lane_sql('pid', 1)}) * 10.0)"
+    e, n = utm_project_sql(lon, lat, zone=13)
+    return f"""
+    SELECT pid, round({e}, 2) AS easting, round({n}, 2) AS northing
+    FROM (SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS pid FROM lineitem)
+    """
+
+
+def _colormap_oracle_sql() -> str:
+    pts = _points_sql()
+    return f"""
+    WITH dzs AS (SELECT pid, (z - 50.0) / 10.0 AS dz FROM ({pts})),
+    norms AS (
+      SELECT pid, least(1.0, greatest(0.0,
+        CASE WHEN dz < 0.0 THEN (dz - (-5.0)) / 5.0 * 0.5
+             ELSE 0.5 + dz / 5.0 * 0.5 END)) AS norm
+      FROM dzs
+    )
+    SELECT pid,
+      cast(round((CASE WHEN norm <= 0.5 THEN norm * 2.0 ELSE 1.0 END) * 65535.0) as int) AS red,
+      cast(round((CASE WHEN norm <= 0.5 THEN norm * 2.0 ELSE (1.0 - norm) * 2.0 END) * 65535.0) as int) AS green,
+      cast(round((CASE WHEN norm >= 0.5 THEN (1.0 - norm) * 2.0 ELSE 1.0 END) * 65535.0) as int) AS blue
+    FROM norms
     """
 
 

@@ -204,6 +204,42 @@ def utm_project_sql(lon_expr: str, lat_expr: str, zone: int, south: bool = False
     return e.s, n.s
 
 
+def warp_raster_to_utm(
+    dsm: DataFrame,
+    extent_deg: tuple[float, float, float, float],
+    res_deg: float,
+    res_out_m: float,
+    zone: int | None = None,
+    south: bool = False,
+) -> tuple[DataFrame, int]:
+    """S3: raster reprojection (warp) of a geographic-CRS raster into UTM
+    meters (the reference reprojects a lon/lat AOI into the foundation CRS,
+    preprocess.py:455-484 via rasterio.warp). Spark-first composition, two
+    jobs: (1) cells -> lon/lat center points (pure column exprs) ->
+    transverse-Mercator projection (pure column exprs, whole-stage codegen)
+    -> (2) re-bin onto the metric grid with a max aggregate (the engine's
+    rasterize primitive; swap grid_max for grid_idw for smoother output).
+    Returns ((gx, gy, z) raster in UTM pixels of ``res_out_m``, zone)."""
+    from codem_spark.operators import grid
+
+    lon = (F.col("gx").cast("double") + F.lit(0.5)) * F.lit(res_deg) + F.lit(extent_deg[0])
+    lat = (F.col("gy").cast("double") + F.lit(0.5)) * F.lit(res_deg) + F.lit(extent_deg[1])
+    pts = dsm.select(lon.alias("lon"), lat.alias("lat"), "z")
+    if zone is None:
+        clon = (extent_deg[0] + extent_deg[2]) / 2.0
+        clat = (extent_deg[1] + extent_deg[3]) / 2.0
+        zone, _epsg = utm_zone(clon, clat)
+        south = clat < 0
+    e, n = utm_project_cols(F.col("lon"), F.col("lat"), zone, south)
+    metric = pts.select(e.alias("x"), n.alias("y"), "z")
+    # UTM-space bbox of the corners bounds the output grid
+    c_lon = [extent_deg[0], extent_deg[2], extent_deg[0], extent_deg[2]]
+    c_lat = [extent_deg[1], extent_deg[1], extent_deg[3], extent_deg[3]]
+    ce, cn = utm_project_np(np.array(c_lon), np.array(c_lat), zone, south)
+    out_extent = (float(ce.min()), float(cn.min()), float(ce.max()), float(cn.max()))
+    return grid.grid_max(metric, out_extent, res_out_m), zone
+
+
 def project_to_utm(
     df: DataFrame,
     lon: str = "lon",

@@ -124,7 +124,7 @@ def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def _minhash_matrix(
-    s: pd.Series, a_vec: np.ndarray, b_vec: np.ndarray, chunk_flat: int = 250_000
+    s: pd.Series, a_vec: np.ndarray, b_vec: np.ndarray, chunk_flat: int = 64_000
 ) -> np.ndarray:
     """(n_rows, num_hashes) minhash matrix over a batch of shingle arrays.
 
@@ -132,8 +132,8 @@ def _minhash_matrix(
     ``chunk_flat``: the (N, H) modular-product temporary is the hot
     allocation (an unchunked 65536-row Arrow batch of ~200-shingle docs is a
     13M x 64 x 8 B = ~6.7 GB temp PER python worker — 32 workers of those
-    thrash the box and flatten the core-scaling curve). Chunked at 250k flat
-    entries the temp is ~128 MB per worker; results are bit-identical.
+    thrash the box and flatten the core-scaling curve). Chunked at 64k flat
+    entries the temp is ~33 MB per worker; results are bit-identical.
     The small chunk also bounds exposure to this sandbox's host-level
     page-fault stalls, which intermittently make a LARGE fresh allocation
     20-60x slower (measured: the same 133 MB product took 0.2 s or 13 s

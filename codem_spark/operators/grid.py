@@ -361,6 +361,119 @@ def infill(
     )
 
 
+def resample_raster(
+    dsm: DataFrame,
+    extent: Extent,
+    res_in: float,
+    res_out: float,
+    method: str = "cubic",
+    tile_px: int = 128,
+) -> DataFrame:
+    """S2: raster -> raster resample to a new resolution with a Catmull-Rom
+    bicubic kernel (a = -0.5, the GDAL/rasterio `cubic` kernel the reference
+    uses to bring rasters to pipeline resolution, preprocess.py:409-441).
+
+    Output cell centers map into input pixel space (u = (ogx+0.5)*r - 0.5,
+    r = res_out/res_in); each takes a 4x4 tap neighborhood. Distributed as
+    one job: input cells are exploded into every OUTPUT tile whose support
+    window touches them (JVM sequence-explode, fan-out ~(1 + 4*res_in/
+    res_out/tile_px)^2), then a per-tile kernel evaluates all output pixels
+    vectorized. Taps are mask-normalized, so edge pixels and pixels next to
+    voids renormalize over available taps (voids stay absent when NO tap
+    exists). `method="bilinear"` uses the 2x2 linear kernel instead.
+    """
+    if method not in ("cubic", "bilinear"):
+        raise ValueError(f"unknown method {method!r}")
+    r = res_out / res_in
+    support = 2 if method == "cubic" else 1
+    # output-pixel index range influenced by input cell gx:
+    # u in [gx-support, gx+support] -> ogx in [(gx-support+0.5)/? ...]
+    lo_f = lambda g: (g - support + 0.5) / r - 0.5  # noqa: E731
+    hi_f = lambda g: (g + support + 0.5) / r - 0.5  # noqa: E731
+    tx0 = F.floor(F.ceil(lo_f(F.col("gx"))) / F.lit(tile_px)).cast("long")
+    tx1 = F.floor(F.floor(hi_f(F.col("gx"))) / F.lit(tile_px)).cast("long")
+    ty0 = F.floor(F.ceil(lo_f(F.col("gy"))) / F.lit(tile_px)).cast("long")
+    ty1 = F.floor(F.floor(hi_f(F.col("gy"))) / F.lit(tile_px)).cast("long")
+    exploded = (
+        dsm.select("gx", "gy", "z", tx0.alias("_tx0"), tx1.alias("_tx1"),
+                   ty0.alias("_ty0"), ty1.alias("_ty1"))
+        .withColumn("htx", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("hty", F.explode(F.sequence("_ty0", "_ty1")))
+        .select("htx", "hty", "gx", "gy", "z")
+    )
+
+    def cm_weights(t: np.ndarray) -> tuple[np.ndarray, ...]:
+        # Catmull-Rom (a=-0.5) weights for taps at offsets -1, 0, +1, +2
+        # of the fractional position t in [0, 1)
+        a = -0.5
+        t2, t3 = t * t, t * t * t
+        w0 = a * t3 - 2 * a * t2 + a * t
+        w1 = (a + 2) * t3 - (a + 3) * t2 + 1
+        w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+        w3 = -a * t3 + a * t2
+        return w0, w1, w2, w3
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        ogx = np.arange(htx * tile_px, (htx + 1) * tile_px)
+        ogy = np.arange(hty * tile_px, (hty + 1) * tile_px)
+        u = (ogx + 0.5) * r - 0.5  # input-pixel coords per output x index
+        v = (ogy + 0.5) * r - 0.5
+        bu = np.floor(u).astype(np.int64)
+        bv = np.floor(v).astype(np.int64)
+        fu = u - bu
+        fv = v - bv
+        # dense local input array over the taps this tile needs
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        x0, y0 = gx.min(), gy.min()
+        w_ = gx.max() - x0 + 1
+        h_ = gy.max() - y0 + 1
+        arr = np.zeros((w_, h_))
+        m = np.zeros((w_, h_))
+        arr[gx - x0, gy - y0] = pdf["z"].to_numpy(np.float64)
+        m[gx - x0, gy - y0] = 1.0
+        if method == "cubic":
+            wu = np.stack(cm_weights(fu), axis=1)  # (T, 4) offsets -1..2
+            wv = np.stack(cm_weights(fv), axis=1)
+            offs = (-1, 0, 1, 2)
+        else:
+            wu = np.stack([1.0 - fu, fu], axis=1)
+            wv = np.stack([1.0 - fv, fv], axis=1)
+            offs = (0, 1)
+        num = np.zeros((tile_px, tile_px))
+        den = np.zeros((tile_px, tile_px))
+        for i, du in enumerate(offs):
+            ix = np.clip(bu + du - x0, -1, w_)  # -1 / w_ mark out-of-array
+            okx = (ix >= 0) & (ix < w_)
+            ixc = np.clip(ix, 0, w_ - 1)
+            for j, dv in enumerate(offs):
+                iy = np.clip(bv + dv - y0, -1, h_)
+                oky = (iy >= 0) & (iy < h_)
+                iyc = np.clip(iy, 0, h_ - 1)
+                tap_m = m[np.ix_(ixc, iyc)] * okx[:, None] * oky[None, :]
+                tap_v = arr[np.ix_(ixc, iyc)]
+                w2d = wu[:, i : i + 1] * wv[None, :, j].reshape(1, -1)
+                num += w2d * tap_m * tap_v
+                den += w2d * tap_m
+        # full-support Catmull-Rom weights sum to exactly 1; partial-support
+        # sums can be small or negative (negative lobes), where renormalizing
+        # would explode — require most of the kernel mass to be present
+        ok = den > 0.5
+        ex, ey = np.nonzero(ok)
+        return pd.DataFrame(
+            {
+                "gx": ogx[ex],
+                "gy": ogy[ey],
+                "z": num[ok] / den[ok],
+            }
+        )
+
+    return exploded.groupBy("htx", "hty").applyInPandas(
+        kernel, schema="gx long, gy long, z double"
+    )
+
+
 def _gauss_kernel1d(sigma: float) -> np.ndarray:
     r = max(1, int(math.ceil(4.0 * sigma)))
     x = np.arange(-r, r + 1, dtype=np.float64)

@@ -94,7 +94,11 @@ def grid_topk(
     rids: np.ndarray,
     radius: float,
     k: int | None,
-    pair_chunk: int = 8_000_000,
+    # ~24 MB for the (chunk, 3) diff temp: large fresh numpy allocations hit
+    # this sandbox's intermittent host page-fault stalls (20-60x slowdowns)
+    # and saturate memory bandwidth when 32 workers allocate them at once —
+    # small chunks keep the kernel CPU-bound so it actually scales with cores
+    pair_chunk: int = 1_000_000,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 

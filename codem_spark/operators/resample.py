@@ -75,6 +75,21 @@ def resample_to_points(
         qp = qpdf[["x", "y"]].to_numpy(np.float64)
         sp = spdf[["x", "y"]].to_numpy(np.float64)
         vals = {v: spdf[v].to_numpy(np.float64) for v in vcols}
+        if method == "tin":
+            # true Delaunay TIN linear interpolation (reference hag_delaunay
+            # / matplotlib.tri path) — one triangulation per tile over the
+            # halo'd samples; NaN outside the hull -> NODATA (apply.py:469)
+            from codem_spark.operators import tin as tin_mod
+
+            uniq, uidx = np.unique(sp, axis=0, return_index=True)
+            tris = tin_mod.delaunay_np(uniq) if len(uniq) >= 3 else None
+            for v in vcols:
+                if tris is None or len(tris) == 0:
+                    cols[v] = np.full(nq, NODATA)
+                    continue
+                zi = tin_mod.tin_interpolate_np(uniq, vals[v][uidx], qp, tris)
+                cols[v] = np.where(np.isnan(zi), NODATA, zi)
+            return pd.DataFrame(cols)
         chunk = max(1, int(4_000_000 // max(len(sp), 1)))
         outs = {v: np.full(nq, NODATA) for v in vcols}
         kk = min(k, len(sp))

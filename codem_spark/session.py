@@ -21,15 +21,18 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    shuffle_partitions defaults to 2x cores locally: enough to keep all
-    threads busy through skewed stages without tiny-partition overhead.
-    On a real cluster this is set per-stage (see operators/grid.py and
-    registration/icp.py which repartition explicitly by cell).
+    shuffle_partitions defaults to 4x cores: cogroup kernel stages (kNN,
+    normals, clustering) have expensive Python work per task, and with only
+    ~1-2 waves of tasks the last wave strands most of the cluster (measured:
+    a 23-task kernel stage on 16 cores ran 44 s with the second wave using
+    7/16 slots — wave imbalance, not skew). ~4 waves bounds that loss at
+    ~1/8. The AQE advisory size below keeps coalescing from undoing this
+    for kernel stages while still collapsing genuinely tiny shuffles.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, 2 * cpus)
+        shuffle_partitions = max(16, 4 * cpus)
 
     # One BLAS thread per Python worker: N workers x M BLAS threads
     # oversubscribes the box quadratically (batched eigh/matmul kernels);
@@ -42,7 +45,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing targets BYTES, but the engine's cogroup
+        # kernel stages cost Python CPU per row, not bytes: a few-MB shuffle
+        # carries tens of seconds of kernel work, and coalescing it to ~1
+        # wave of tasks strands most cores (measured: normals stage 47 s ->
+        # 30 s at local[16] with coalescing off). Skew-join stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -60,6 +68,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle spill dir on tmpfs when available: this sandbox's virtual disk
+    # serializes under concurrent shuffle writers (measured: the same 40M-row
+    # repartition took 7.8 s at local[8] but 30.7 s at local[32] on /tmp, and
+    # 5.9 s on /dev/shm) — with the default dir, every shuffle-heavy stage
+    # ANTI-scales with cores. On a real cluster this is the per-executor
+    # local-SSD setting (spark.local.dir / YARN local dirs).
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", os.path.join(shm, "spark-local"))
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")
     if extra_conf:

@@ -79,3 +79,24 @@ def test_project_to_utm_infers_zone(spark):
     out_s, zone_s, epsg_s = crs.project_to_utm(spark.createDataFrame(pdf_s))
     assert epsg_s == 32756
     assert out_s.toPandas().y.iloc[0] > 6_000_000
+
+
+def test_warp_raster_to_utm(spark):
+    """S3 (reference preprocess.py:455-484): a lon/lat raster warps into UTM
+    meters; elevations survive and the output grid spans the projected bbox."""
+    # 0.01-degree raster around (-105, 40): ~1.1 km x 0.85 km pixels
+    rows = [
+        (gx, gy, float(gx * 10 + gy))
+        for gx in range(20)
+        for gy in range(20)
+    ]
+    dsm = spark.createDataFrame(rows, "gx long, gy long, z double")
+    ext_deg = (-105.1, 39.9, -104.9, 40.1)
+    out, zone = crs.warp_raster_to_utm(dsm, ext_deg, res_deg=0.01, res_out_m=1000.0)
+    assert zone == 13
+    pdf = out.toPandas()
+    assert len(pdf) > 200
+    assert pdf.z.min() >= 0.0 and pdf.z.max() <= 209.0
+    # output pixel indices correspond to ~17 km x 22 km of UTM extent
+    assert 10 <= pdf.gx.max() - pdf.gx.min() <= 25
+    assert 15 <= pdf.gy.max() - pdf.gy.min() <= 30
