@@ -20,6 +20,10 @@ PIP_RING = [(20000.0, 20000.0), (80000.0, 25000.0), (70000.0, 75000.0), (30000.0
 # starting radius for the escalating NN join — a small start admits a fine
 # tile level (radius rule) and a narrow halo; escalation keeps completeness
 KNN_RADIUS = 2_500.0
+# fixed output grid for the utm_warp query (UTM bbox of the lon/lat window
+# [-105.1,-104.9]x[39.9,40.1] in zone 13N, precomputed so Spark and the
+# DuckDB oracle bin onto the identical grid)
+_UTM_WARP_EXTENT = (491451.0, 4416663.0, 508549.0, 4438862.0)
 
 
 # ---------------------------------------------------------------- helpers
@@ -249,6 +253,42 @@ def _q_colormap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "red", "green", "blue")
 
 
+def _q_utm_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: reproject derived lon/lat points into UTM meters and re-grid
+    (rasterize-max) — the warp composition, fully SQL-expressible."""
+    from codem_spark.functions import crs, geo
+    from codem_spark.operators import grid
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pid")
+    base = li.select(pid).distinct()
+    lon = F.lit(-105.1) + geo.id_lane_col(F.col("pid"), 0) * F.lit(0.2)
+    lat = F.lit(39.9) + geo.id_lane_col(F.col("pid"), 1) * F.lit(0.2)
+    z = geo.id_lane_col(F.col("pid"), 2) * F.lit(100.0)
+    e, n = crs.utm_project_cols(lon, lat, zone=13)
+    pts = base.select(e.alias("x"), n.alias("y"), z.alias("z"))
+    out = grid.grid_max(pts, _UTM_WARP_EXTENT, 500.0)
+    return out.select("gx", "gy", F.round("z", 6).alias("z_max"))
+
+
+def _q_tin_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A10: Delaunay-TIN linear interpolation of the derived cloud at
+    query points (rows-only: no SQL Delaunay; exactness is pinned by
+    tests/test_tin.py's empty-circumcircle + linear-exactness properties)."""
+    from codem_spark.functions import geo
+    from codem_spark.operators import resample
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 16 == 1)
+    x0, y0, x1, y1 = EXTENT
+    qs = spark.range(0, 200).select(
+        F.col("id").alias("pid"),
+        (F.lit(x0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 0) * F.lit((x1 - x0) - 10000.0)).alias("x"),
+        (F.lit(y0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 1) * F.lit((y1 - y0) - 10000.0)).alias("y"),
+    )
+    out = resample.resample_to_points(pts, qs, EXTENT, radius=8000.0, method="tin")
+    return out.select("pid", F.round("z", 5).alias("z_tin"))
+
+
 def _q_tpch_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -407,7 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "idw_resample": _q_idw_resample,
         "utm_project": _q_utm_project,
+        "utm_warp": _q_utm_warp,
         "colormap": _q_colormap,
+        "tin_resample": _q_tin_resample,
         "tpch_grid_agg": _q_tpch_grid_agg,
         "quantize": _q_quantize,
         # rows-only (non-SQL-expressible: hashed sketches / iterative solvers)
@@ -515,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, d_id, rank FROM ranked WHERE rank <= 3""",
         "idw_resample": _idw_resample_oracle_sql(),
         "utm_project": _utm_project_oracle_sql(),
+        "utm_warp": _utm_warp_oracle_sql(),
         "colormap": _colormap_oracle_sql(),
         "tpch_grid_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -569,6 +612,27 @@ def _utm_project_oracle_sql() -> str:
     return f"""
     SELECT pid, round({e}, 2) AS easting, round({n}, 2) AS northing
     FROM (SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS pid FROM lineitem)
+    """
+
+
+def _utm_warp_oracle_sql() -> str:
+    from codem_spark.functions.crs import utm_project_sql
+    from codem_spark.functions.geo import id_lane_sql
+
+    lon = f"(-105.1 + ({id_lane_sql('pid', 0)}) * 0.2)"
+    lat = f"(39.9 + ({id_lane_sql('pid', 1)}) * 0.2)"
+    z = f"(({id_lane_sql('pid', 2)}) * 100.0)"
+    e, n = utm_project_sql(lon, lat, zone=13)
+    x0, y0 = _UTM_WARP_EXTENT[0], _UTM_WARP_EXTENT[1]
+    return f"""
+    WITH pts AS (
+      SELECT {e} AS x, {n} AS y, {z} AS z
+      FROM (SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS pid FROM lineitem)
+    )
+    SELECT cast(floor((x - {x0!r}) / 500.0) as bigint) AS gx,
+           cast(floor((y - {y0!r}) / 500.0) as bigint) AS gy,
+           round(max(z), 6) AS z_max
+    FROM pts GROUP BY 1, 2
     """
 
 
