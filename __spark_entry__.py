@@ -423,6 +423,45 @@ def _q_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rec))
 
 
+def _q_fine_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine (point-to-plane ICP) registration demo — the north-star
+    treeReduce op: recover a small rigid shift on a 20k-point scene and
+    return the one-row parameter record (rows-only; the solve is iterative,
+    not SQL-expressible). Exactness envelope is pinned by
+    tests/test_registration.py."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.config import EngineConfig
+    from codem_spark.registration import icp
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    ext = (0.0, 0.0, 500.0, 500.0)
+    fx = rng.uniform(0, 500, n)
+    fy = rng.uniform(0, 500, n)
+    gx = np.floor(fx / 60).astype(np.int64)
+    gy = np.floor(fy / 60).astype(np.int64)
+    inside = ((fx - gx * 60) > 18) & ((fx - gx * 60) < 42) & ((fy - gy * 60) > 18) & ((fy - gy * 60) < 42)
+    h = ((gx * 73856093 + gy * 19349663) % 89) / 89.0 * 12 + 3
+    fz = 8 * np.sin(fx / 90) * np.cos(fy / 110) + np.where(inside, h, 0.0) + 30.0
+    m = (fx > 100) & (fx < 400) & (fy > 100) & (fy < 400)
+    mv = pd.DataFrame({
+        "pid": np.arange(int(m.sum())),
+        "x": fx[m] + 1.5, "y": fy[m] - 1.0, "z": fz[m] + 0.5,
+    })
+    fixed = spark.createDataFrame(pd.DataFrame({"pid": np.arange(n), "x": fx, "y": fy, "z": fz}))
+    moving = spark.createDataFrame(mv)
+    cfg = EngineConfig(min_resolution=4.0, icp_max_iter=8)
+    params = icp.fine_registration(fixed, moving, ext, resolution=4.0, cfg=cfg, knn_radius=6.0)
+    rec = {
+        k: [float(v)] if not isinstance(v, (int, list)) else [v]
+        for k, v in params.to_dict().items()
+        if k not in ("matrix", "matrix_native") and v is not None
+    }
+    return spark.createDataFrame(pd.DataFrame(rec))
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -460,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _q_lang_quality,
         "euclidean_cluster": _q_cluster,
         "coarse_registration": _q_registration,
+        "fine_registration": _q_fine_registration,
     }
 
 

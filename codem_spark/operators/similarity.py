@@ -122,6 +122,36 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 16, seed: int = 13) ->
     return bucket
 
 
+def lsh_buckets_udf_col(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 13
+) -> Column:
+    """All ``n_tables`` bucket ids in ONE Arrow pass: batch matmul against
+    the full (n_tables*n_planes, dim) plane matrix held in the UDF closure.
+    The scale path for high-dim embeddings — the JVM expression variant
+    (lsh_bucket_col) unrolls dim*n_planes*n_tables literals into the plan,
+    which bloats codegen past ~dim 64. Plane generation is identical to
+    lsh_bucket_col (same per-table seeds), so bucket ids agree up to
+    floating-point sign ties on near-zero projections."""
+    mats = [
+        np.random.default_rng(seed + 101 * t).standard_normal((n_planes, dim))
+        for t in range(n_tables)
+    ]
+    allplanes = np.vstack(mats)  # (T*P, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def bk(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+        proj = m @ allplanes.T  # (N, T*P)
+        bits = (proj > 0).reshape(len(m), n_tables, n_planes)
+        buckets = (bits * weights[None, None, :]).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(buckets))
+
+    return bk(vec)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     data: DataFrame,
@@ -132,13 +162,31 @@ def cosine_topk_lsh(
     qid: str = "vec_id",
     did: str = "vec_id",
     vec: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH. Both sides are
     bucketed under ``n_tables`` independent plane sets; candidates = union of
     per-table bucket collisions (the shuffle is keyed by (table, bucket) —
     the IVF-style 100 TB path); exact cosine re-rank on the candidates.
-    Recall rises with n_tables, cost with n_tables / 2^n_planes."""
+    Recall rises with n_tables, cost with n_tables / 2^n_planes.
+
+    impl: "expr" = JVM literal-plane expressions (whole-stage codegen; fine
+    to ~dim 64), "udf" = one Arrow matmul pass (high-dim scale path),
+    "auto" = switch on total plane-literal count."""
+    if impl == "auto":
+        impl = "udf" if dim * n_planes * n_tables > 4096 else "expr"
+
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        src_id = qid if id_alias == "q_id" else did
+        if impl == "udf":
+            b = df.select(
+                F.col(src_id).alias(id_alias),
+                F.col(vec).alias(vec_alias),
+                lsh_buckets_udf_col(F.col(vec), dim, n_planes, n_tables).alias("_bks"),
+            )
+            return b.select(
+                id_alias, vec_alias, F.posexplode("_bks").alias("tbl", "bucket")
+            )
         tbl = F.explode(
             F.array(
                 *[
@@ -151,7 +199,7 @@ def cosine_topk_lsh(
             )
         )
         return df.select(
-            F.col(qid if id_alias == "q_id" else did).alias(id_alias),
+            F.col(src_id).alias(id_alias),
             F.col(vec).alias(vec_alias),
             tbl.alias("tb"),
         ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))

@@ -58,6 +58,10 @@ def _prep_dsm(
     outputs. The DSM is already resolution-reduced, so exact is cheap."""
     cfg = cfg or EngineConfig()
     dsm = grid.grid_max(points, extent, resolution)
+    # persist the infilled raster: the two exact-percentile aggs below and
+    # the final DSM materialization would otherwise recompute the whole
+    # grid_max -> infill -> band_pass chain three times (measured: 45 s ->
+    # ~15 s of the coarse stage). The table is tiny (one row per cell).
     filled = grid.infill(dsm, extent, resolution)
     # weak sigma floors at 1 px: below that the "weak" blur is a no-op and
     # the band-pass keeps per-cell sampling noise (grid_max of a random
@@ -66,7 +70,7 @@ def _prep_dsm(
         filled,
         weak_sigma_px=max(cfg.dsm_weak_filter / resolution, 1.0),
         strong_sigma_px=cfg.dsm_strong_filter / resolution,
-    )
+    ).persist()
     # Two quantized planes: det_u8 (band-passed) drives keypoint DETECTION —
     # suppressing long-wavelength relief so keypoints don't collapse onto
     # ridgelines, the reference's stated reason for _normalize
@@ -78,7 +82,10 @@ def _prep_dsm(
     # band-passed input; a single-scale binary descriptor does not.
     q = grid.quantize_normalize(bp, "bp", exact=True)
     q = grid.quantize_normalize(q, "z", exact=True)
-    return q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8"))
+    out = q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8")).persist()
+    out.count()  # materialize through the cached band-pass, then release it
+    bp.unpersist(False)
+    return out
 
 
 def estimate_pipeline_resolution(
@@ -121,9 +128,16 @@ def coarse_registration(
     prep: PreprocessResult, cfg: EngineConfig | None = None
 ) -> RegistrationParameters:
     cfg = cfg or EngineConfig()
-    fnd_kp = features.extract_features(prep.fnd_dsm, prep.extent, prep.resolution)
-    aoi_kp = features.extract_features(prep.aoi_dsm, prep.extent, prep.resolution)
-    return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg)
+    # persist keypoints: the matcher consumes each side twice (capacity
+    # probe + broadcast/batch pass) — without the cache the Harris tile
+    # kernels rerun per consumer
+    fnd_kp = features.extract_features(prep.fnd_dsm, prep.extent, prep.resolution).persist()
+    aoi_kp = features.extract_features(prep.aoi_dsm, prep.extent, prep.resolution).persist()
+    try:
+        return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg)
+    finally:
+        fnd_kp.unpersist(False)
+        aoi_kp.unpersist(False)
 
 
 def fine_registration_stage(

@@ -72,6 +72,42 @@ def windowed_tile_counts(
     )
 
 
+def streaming_exact_dedup(
+    pages: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stateful streaming exact dedup: keep the first arrival per normalized
+    text digest (the streaming face of operators/dedup.exact_dedup).
+    ``dropDuplicatesWithinWatermark`` keeps per-digest state in the state
+    store and evicts entries older than the watermark — the correct contract
+    for continuous WARC ingest (a re-crawl months later is a new snapshot,
+    not a dup), and the only shape whose state is bounded at 10^12 rows."""
+    from codem_spark.functions.text import normalized_text_col
+
+    d = pages.withColumn("digest", F.sha2(normalized_text_col(F.col("text")), 256))
+    return d.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["digest"])
+
+
+def streaming_dedup_counts(
+    pages: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Windowed duplicate-rate metrics: per event-time window, total pages
+    and distinct digests (duplicate rate = 1 - distinct/total)."""
+    from codem_spark.functions.text import normalized_text_col
+
+    d = pages.withColumn("digest", F.sha2(normalized_text_col(F.col("text")), 256))
+    return (
+        d.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("digest").alias("n_distinct_approx"),
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously (test harness)."""
     q = (

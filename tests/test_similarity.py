@@ -37,3 +37,25 @@ def test_lsh_recall_reasonable(spark):
     appr_nn = dict(zip(approx[approx["rank"] == 1].q_id, approx[approx["rank"] == 1].d_id))
     hits = sum(1 for k_, v in exact_nn.items() if appr_nn.get(k_) == v)
     assert hits / len(exact_nn) > 0.5  # multi-table LSH recall on random vectors
+
+
+def test_lsh_udf_impl_matches_expr_impl(spark):
+    """High-dim Arrow-matmul bucketing must produce the same candidates/
+    ranking as the JVM literal-plane expressions (same seeds, same planes);
+    sign ties on near-zero projections are measure-zero on random data."""
+    import numpy as np
+    import pandas as pd
+    from codem_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 32
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(rng.standard_normal((n, dim)))}
+    )
+    df = spark.createDataFrame(emb)
+    q = df.filter("vec_id < 30")
+    a = similarity.cosine_topk_lsh(q, df, dim=dim, k=3, n_planes=6, n_tables=4, impl="expr").toPandas()
+    b = similarity.cosine_topk_lsh(q, df, dim=dim, k=3, n_planes=6, n_tables=4, impl="udf").toPandas()
+    ka = set(zip(a.q_id, a.d_id, a["rank"]))
+    kb = set(zip(b.q_id, b.d_id, b["rank"]))
+    assert ka == kb

@@ -40,3 +40,39 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(gp) == len(bp)
     assert (gp.cell_id.values == bp.cell_id.values).all()
     assert (gp.n.values == bp.n.values).all()
+
+
+def test_streaming_exact_dedup_drops_dups(spark, tmp_path):
+    """Stateful streaming dedup: planted exact duplicates across two
+    micro-batches collapse to one survivor per digest (streaming face of
+    operators/dedup.exact_dedup)."""
+    pages = synth.pages(spark, 400).persist()
+    dups = pages.limit(100).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm=copy"))
+    )
+    pages.write.parquet(str(tmp_path / "din" / "b1"))
+    dups.write.parquet(str(tmp_path / "din" / "b2"))
+    stream = ingest.read_pages_stream(spark, str(tmp_path / "din" / "*"))
+    dd = ingest.streaming_exact_dedup(stream)
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_pages")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT digest, count(*) AS n FROM dedup_pages GROUP BY digest").toPandas()
+    # batch oracle: distinct digests of the union
+    from codem_spark.functions.text import normalized_text_col
+
+    exp = (
+        pages.unionByName(dups)
+        .select(F.sha2(normalized_text_col(F.col("text")), 256).alias("digest"))
+        .distinct()
+        .count()
+    )
+    assert (got.n == 1).all()  # every digest survives exactly once
+    assert len(got) == exp
+    pages.unpersist()
