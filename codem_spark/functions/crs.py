@@ -232,11 +232,31 @@ def warp_raster_to_utm(
         south = clat < 0
     e, n = utm_project_cols(F.col("lon"), F.col("lat"), zone, south)
     metric = pts.select(e.alias("x"), n.alias("y"), "z")
-    # UTM-space bbox of the corners bounds the output grid
-    c_lon = [extent_deg[0], extent_deg[2], extent_deg[0], extent_deg[2]]
-    c_lat = [extent_deg[1], extent_deg[1], extent_deg[3], extent_deg[3]]
-    ce, cn = utm_project_np(np.array(c_lon), np.array(c_lat), zone, south)
-    out_extent = (float(ce.min()), float(cn.min()), float(ce.max()), float(cn.max()))
+    # UTM-space bbox: sample all four EDGES, not just corners — for a window
+    # straddling the zone's central meridian the min northing sits on the
+    # bottom edge at the meridian (the projection bows edges), so a
+    # corners-only bbox can exclude real cells (gy=-1).
+    t = np.linspace(0.0, 1.0, 33)
+    lon_edges = np.concatenate([
+        extent_deg[0] + t * (extent_deg[2] - extent_deg[0]),  # bottom
+        extent_deg[0] + t * (extent_deg[2] - extent_deg[0]),  # top
+        np.full_like(t, extent_deg[0]),                        # left
+        np.full_like(t, extent_deg[2]),                        # right
+    ])
+    lat_edges = np.concatenate([
+        np.full_like(t, extent_deg[1]),
+        np.full_like(t, extent_deg[3]),
+        extent_deg[1] + t * (extent_deg[3] - extent_deg[1]),
+        extent_deg[1] + t * (extent_deg[3] - extent_deg[1]),
+    ])
+    ce, cn = utm_project_np(lon_edges, lat_edges, zone, south)
+    # floor/ceil to a whole output pixel for residual edge-curvature slack
+    out_extent = (
+        float(np.floor(ce.min() / res_out_m) * res_out_m),
+        float(np.floor(cn.min() / res_out_m) * res_out_m),
+        float(np.ceil(ce.max() / res_out_m) * res_out_m),
+        float(np.ceil(cn.max() / res_out_m) * res_out_m),
+    )
     return grid.grid_max(metric, out_extent, res_out_m), zone
 
 
@@ -249,7 +269,12 @@ def project_to_utm(
     """S7 end-to-end: infer the zone (unless given), append x/y meter
     columns. Returns (df, zone, epsg)."""
     r = df.agg(F.avg(lon).alias("lon"), F.avg(lat).alias("lat")).collect()[0]
-    clat = float(r["lat"]) if r["lat"] is not None else 0.0
+    if r["lat"] is None or r["lon"] is None:
+        if zone is None:
+            raise ValueError("cannot infer UTM CRS of an empty dataset")
+        clat = 0.0
+    else:
+        clat = float(r["lat"])
     if zone is None:
         zone, epsg = utm_zone(float(r["lon"]), clat)
     else:

@@ -84,14 +84,26 @@ def quantized_point_write(
     the LAS convention). Scale/offset land in the table manifest — the
     Iceberg-table-properties stand-in — so readers reconstruct without side
     channels."""
-    mins = df.agg(
-        F.floor(F.min("x")).alias("x"),
-        F.floor(F.min("y")).alias("y"),
-        F.floor(F.min("z")).alias("z"),
+    stats = df.agg(
+        *[F.floor(F.min(a)).alias(f"min_{a}") for a in ("x", "y", "z")],
+        *[F.max(a).alias(f"max_{a}") for a in ("x", "y", "z")],
+        *[F.min(a).alias(f"rmin_{a}") for a in ("x", "y", "z")],
     ).collect()[0]
     axes = ("x", "y", "z")
-    off = {a: float(mins[a]) if o == "auto" else float(o) for a, o in zip(axes, offsets)}
+    off = {a: float(stats[f"min_{a}"]) if o == "auto" else float(o) for a, o in zip(axes, offsets)}
     scl = {a: 0.01 if s == "auto" else float(s) for a, s in zip(axes, scales)}
+    # caller-supplied offset/scale combinations can push (v-offset)/scale
+    # outside int32; a plain non-ANSI cast would wrap SILENTLY and corrupt
+    # coordinates on read-back — validate against the min/max agg instead
+    i32 = (1 << 31) - 1
+    for a in axes:
+        for bound in (float(stats[f"rmin_{a}"]), float(stats[f"max_{a}"])):
+            q = round((bound - off[a]) / scl[a])
+            if not (-i32 - 1 <= q <= i32):
+                raise ValueError(
+                    f"quantized {a} value {q} (raw {bound}, offset {off[a]}, "
+                    f"scale {scl[a]}) exceeds int32 — widen the scale or fix the offset"
+                )
     out = df
     for a in axes:
         q = F.round((F.col(a) - F.lit(off[a])) / F.lit(scl[a])).cast("int")

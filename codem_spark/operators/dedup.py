@@ -216,14 +216,28 @@ def minhash_band_keys_col(
     return bkeys(shingles)
 
 
-def _bucket_pairs(banded: DataFrame, cap: int = 64) -> DataFrame:
+def _bucket_pairs(banded: DataFrame, cap: int | None = 64) -> DataFrame:
     """(band, bkey, did) -> candidate pairs (id_a < id_b) with a hot-bucket
     guard. Buckets of size <= ``cap`` emit every pair (exact banded-LSH
     semantics). Larger buckets — boilerplate/empty docs sharing a signature,
     the quadratic scale-killer at 10^12 rows — emit STAR pairs instead
     (bucket-min did vs every member): O(m) rows per m-member bucket, and any
     member that truly near-dups the bucket survives verification against the
-    representative, which is the dedup contract (drop all but one)."""
+    representative, which is the dedup contract (drop all but one).
+
+    NOTE: the star fallback WEAKENS pairwise completeness — two hot-bucket
+    members near-dup of each other but not of the representative are never
+    paired. Pass ``cap=None`` for exact (all-pairs) banded-LSH semantics,
+    and use :func:`hot_bucket_stats` to measure how many buckets/rows the
+    cap actually truncated on a given input."""
+    if cap is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.did") < F.col("b.did")),
+        ).select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b")).distinct()
     sizes = banded.groupBy("band", "bkey").agg(
         F.count("*").alias("_bn"), F.min("did").alias("_bmin")
     )
@@ -240,6 +254,23 @@ def _bucket_pairs(banded: DataFrame, cap: int = 64) -> DataFrame:
         (F.col("_bn") > cap) & (F.col("did") != F.col("_bmin"))
     ).select(F.col("_bmin").alias("id_a"), F.col("did").alias("id_b"))
     return small_pairs.unionByName(big_pairs).distinct()
+
+
+def hot_bucket_stats(banded: DataFrame, cap: int = 64) -> dict[str, int]:
+    """Observability for the hot-bucket star-pair fallback: how many
+    (band, bkey) buckets exceed ``cap`` and how many member rows sit in
+    them. Run on the ``banded`` frame (did, band, bkey) that feeds
+    _bucket_pairs; one extra agg job, opt-in, so the hot path stays
+    single-pass. A nonzero count quantifies the recall loss surface of the
+    star fallback (see _bucket_pairs)."""
+    r = (
+        banded.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .agg(F.count("*").alias("hot_buckets"), F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"))
+        .collect()[0]
+    )
+    return {"hot_buckets": int(r["hot_buckets"]), "hot_rows": int(r["hot_rows"])}
 
 
 def minhash_lsh_candidates(

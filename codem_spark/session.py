@@ -13,6 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _use_shm_shuffle(shm: str = "/dev/shm", min_free_bytes: int = 16 << 30) -> bool:
+    flag = os.environ.get("SPARK_GRAFT_SHM_SHUFFLE", "").strip().lower()
+    if flag in ("1", "true", "yes"):
+        return True
+    if flag in ("0", "false", "no"):
+        return False
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return False
+    try:
+        st = os.statvfs(shm)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free_bytes
+
+
 def get_spark(
     app_name: str = "codem_spark",
     cpus: int | None = None,
@@ -68,15 +83,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle spill dir on tmpfs when available: this sandbox's virtual disk
-    # serializes under concurrent shuffle writers (measured: the same 40M-row
+    # Shuffle spill dir on tmpfs — GATED: this host's virtual disk serializes
+    # under concurrent shuffle writers (measured: the same 40M-row
     # repartition took 7.8 s at local[8] but 30.7 s at local[32] on /tmp, and
     # 5.9 s on /dev/shm) — with the default dir, every shuffle-heavy stage
-    # ANTI-scales with cores. On a real cluster this is the per-executor
-    # local-SSD setting (spark.local.dir / YARN local dirs).
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        builder = builder.config("spark.local.dir", os.path.join(shm, "spark-local"))
+    # ANTI-scales with cores. But tmpfs is RAM-backed: a shuffle larger than
+    # its free space dies with ENOSPC, so this must NOT be a blanket library
+    # default. Policy: SPARK_GRAFT_SHM_SHUFFLE=1 forces on, =0 forces off;
+    # unset = auto, on only with >=16 GiB free on /dev/shm (~100x any sf0.1
+    # stage's shuffle). On a real cluster keep the default (local SSD /
+    # YARN local dirs) and leave this off.
+    if _use_shm_shuffle():
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")
     if extra_conf:

@@ -100,3 +100,34 @@ def test_warp_raster_to_utm(spark):
     # output pixel indices correspond to ~17 km x 22 km of UTM extent
     assert 10 <= pdf.gx.max() - pdf.gx.min() <= 25
     assert 15 <= pdf.gy.max() - pdf.gy.min() <= 30
+
+
+def test_project_to_utm_empty_raises(spark):
+    import pandas as pd
+
+    empty = spark.createDataFrame(pd.DataFrame({"lon": [1.0], "lat": [1.0]})).filter(
+        F.col("lon") > 99
+    )
+    with pytest.raises(ValueError, match="empty"):
+        crs.project_to_utm(empty)
+
+
+def test_warp_extent_covers_meridian_straddling_window(spark):
+    """A lon/lat window straddling the zone-13 central meridian (-105):
+    the min northing is on the bottom edge AT the meridian, not a corner —
+    every output cell must still land at gy >= 0 (ADVICE crs.py:239)."""
+    import pandas as pd
+
+    # dense raster over [-105.4,-104.6] x [39.9, 40.1]
+    res_deg = 0.01
+    gx, gy = np.meshgrid(np.arange(80), np.arange(20))
+    dsm = spark.createDataFrame(
+        pd.DataFrame({"gx": gx.ravel(), "gy": gy.ravel(), "z": np.ones(gx.size)})
+    )
+    out, zone = crs.warp_raster_to_utm(
+        dsm, (-105.4, 39.9, -104.6, 40.1), res_deg, res_out_m=500.0
+    )
+    assert zone == 13
+    pdf = out.toPandas()
+    assert (pdf["gx"] >= 0).all() and (pdf["gy"] >= 0).all()
+    assert len(pdf) > 0

@@ -95,3 +95,26 @@ def test_bucket_guard_small_buckets_exact(spark):
     a = set(zip(small_cap.id_a, small_cap.id_b))
     b = set(zip(default_cap.id_a, default_cap.id_b))
     assert a == b
+
+
+def test_bucket_cap_none_is_exact_and_stats_observable(spark):
+    """cap=None disables the star-pair fallback (exact banded-LSH pairs);
+    hot_bucket_stats quantifies what a small cap would truncate."""
+    from codem_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    keys = docs_df.select(
+        F.col("doc_id").alias("did"),
+        dd.minhash_band_keys_col(dd.shingles_col(F.col("text"), 3), 64, 16).alias("bkeys"),
+    )
+    banded = keys.select("did", F.posexplode("bkeys").alias("band", "bkey"))
+    exact = set(map(tuple, dd._bucket_pairs(banded, cap=None).collect()))
+    capped = set(map(tuple, dd._bucket_pairs(banded, cap=2).collect()))
+    # the capped set is a subset (star pairs are a subset of all-pairs
+    # within each bucket) and the stats expose the truncated volume
+    assert capped <= exact or len(exact) == 0
+    stats = dd.hot_bucket_stats(banded, cap=2)
+    assert stats["hot_buckets"] >= 0 and stats["hot_rows"] >= 0
+    big = dd.hot_bucket_stats(banded, cap=100000)
+    assert big == {"hot_buckets": 0, "hot_rows": 0}

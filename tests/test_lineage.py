@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from codem_spark.io import lineage, tables
@@ -84,3 +85,20 @@ def test_quantized_point_roundtrip(spark, tmp_path):
     )
     back2 = tables.quantized_point_read(spark, path2).toPandas().sort_values("pid")
     assert np.abs(back2.z.values - pdf.sort_values("pid").z.values).max() <= 0.0005 + 1e-9
+
+
+def test_quantized_write_int32_overflow_raises(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.io import tables
+
+    pdf = pd.DataFrame(
+        {"pid": [0, 1], "x": [0.0, 1.0e9], "y": [0.0, 1.0], "z": [0.0, 1.0]}
+    )
+    # x range 1e9 at cm scale -> 1e11 quantized steps: far outside int32.
+    # The write must refuse loudly instead of letting the cast wrap.
+    with pytest.raises(ValueError, match="int32"):
+        tables.quantized_point_write(
+            spark.createDataFrame(pdf), str(tmp_path / "q_overflow")
+        )
