@@ -271,22 +271,75 @@ def _q_utm_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("z", 6).alias("z_max"))
 
 
-def _q_tin_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7/A10: Delaunay-TIN linear interpolation of the derived cloud at
-    query points (rows-only: no SQL Delaunay; exactness is pinned by
-    tests/test_tin.py's empty-circumcircle + linear-exactness properties)."""
+# tin_resample oracle design: TIN linear interpolation EXACTLY reproduces
+# any affine surface z = a*x + b*y + c at every query inside the sample
+# hull, for EVERY valid triangulation — while IDW/nearest provably do not.
+# So the query runs the full distributed path (tile+halo cogroup, per-tile
+# Bowyer-Watson Delaunay, bucket-grid point location, barycentric weights)
+# over samples carrying an affine z, and DuckDB predicts the value in
+# closed form. Samples live in the LEFT half of the extent only; query
+# pids >= 150 sit in the far right, > 2x the interpolation radius from any
+# sample, so their tiles are sample-free and the reference's NaN -> -9999
+# convention (apply.py:455-475, preprocess.py:201-219) is value-checked too.
+_TIN_A, _TIN_B, _TIN_C = 0.0002, 0.00013, 20.0
+
+
+def _tin_query_xy():
+    """(x, y) Column exprs for the tin_resample query points: interior-left
+    for pid < 150 (inside the sample hull with ~8 km margin), far-right
+    (no samples within radius) for pid >= 150."""
     from codem_spark.functions import geo
+
+    lane0 = geo.id_lane_col(F.col("id") + 3, 0)
+    lane1 = geo.id_lane_col(F.col("id") + 3, 1)
+    x = F.when(F.col("id") < 150, F.lit(8000.0) + lane0 * F.lit(34000.0)).otherwise(
+        F.lit(70000.0) + lane0 * F.lit(25000.0)
+    )
+    y = F.when(F.col("id") < 150, F.lit(8000.0) + lane1 * F.lit(84000.0)).otherwise(
+        F.lit(4000.0) + lane1 * F.lit(92000.0)
+    )
+    return x, y
+
+
+def _q_tin_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A10: Delaunay-TIN linear interpolation at query points, oracle-
+    checked by linear exactness + nodata (see design note above)."""
     from codem_spark.operators import resample
 
-    pts = _points(spark, sf_dir).filter(F.col("pid") % 16 == 1)
-    x0, y0, x1, y1 = EXTENT
-    qs = spark.range(0, 200).select(
-        F.col("id").alias("pid"),
-        (F.lit(x0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 0) * F.lit((x1 - x0) - 10000.0)).alias("x"),
-        (F.lit(y0 + 5000.0) + geo.id_lane_col(F.col("id") + 7, 1) * F.lit((y1 - y0) - 10000.0)).alias("y"),
+    pts = (
+        _points(spark, sf_dir)
+        .filter((F.col("pid") % 16 == 1) & (F.col("x") < 50000.0))
+        .withColumn(
+            "z",
+            F.col("x") * F.lit(_TIN_A) + F.col("y") * F.lit(_TIN_B) + F.lit(_TIN_C),
+        )
     )
+    qx, qy = _tin_query_xy()
+    qs = spark.range(0, 200).select(F.col("id").alias("pid"), qx.alias("x"), qy.alias("y"))
     out = resample.resample_to_points(pts, qs, EXTENT, radius=8000.0, method="tin")
-    return out.select("pid", F.round("z", 5).alias("z_tin"))
+    return out.select("pid", F.round("z", 4).alias("z_tin"))
+
+
+def _tin_resample_oracle_sql() -> str:
+    from codem_spark.functions.geo import id_lane_sql
+
+    l0 = id_lane_sql("(range + 3)", 0)
+    l1 = id_lane_sql("(range + 3)", 1)
+    return f"""
+    WITH queries AS (
+      SELECT range AS id,
+             CASE WHEN range < 150 THEN 8000.0 + ({l0}) * 34000.0
+                  ELSE 70000.0 + ({l0}) * 25000.0 END AS x,
+             CASE WHEN range < 150 THEN 8000.0 + ({l1}) * 84000.0
+                  ELSE 4000.0 + ({l1}) * 92000.0 END AS y
+      FROM range(0, 200)
+    )
+    SELECT id AS pid,
+           CASE WHEN id < 150
+                THEN round(x * {_TIN_A!r} + y * {_TIN_B!r} + {_TIN_C!r}, 4)
+                ELSE -9999.0 END AS z_tin
+    FROM queries
+    """
 
 
 def _q_tpch_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, d_id, rank FROM ranked WHERE rank <= 3""",
         "idw_resample": _idw_resample_oracle_sql(),
+        "tin_resample": _tin_resample_oracle_sql(),
         "utm_project": _utm_project_oracle_sql(),
         "utm_warp": _utm_warp_oracle_sql(),
         "colormap": _colormap_oracle_sql(),

@@ -56,6 +56,15 @@ def cosine_topk_bruteforce(
     )
 
 
+# Broadcast-side row cap for the matmul path — the same 2^17 brute-force /
+# LSH switch point the reference uses for descriptor matching
+# (dsm.py:175-183) and the engine uses for keypoints (coarse.py
+# BF_MATCH_CAPACITY). Above it, an uncapped driver collect of the data side
+# is the classic 10^8-embedding driver OOM, so we fall through to the
+# bucketed LSH path instead.
+MATMUL_BROADCAST_CAP = 1 << 17
+
+
 def cosine_topk_matmul(
     queries: DataFrame,
     data: DataFrame,
@@ -63,12 +72,29 @@ def cosine_topk_matmul(
     qid: str = "vec_id",
     did: str = "vec_id",
     vec: str = "embedding",
+    cap: int = MATMUL_BROADCAST_CAP,
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
     """Exact top-k via per-partition BLAS matmul against a broadcast,
     pre-normalized data matrix — the throughput path when data fits in one
     broadcast (same role as the reference's brute-force Hamming matmul,
-    dsm.py:185-187). Queries stream through mapInPandas in Arrow batches."""
+    dsm.py:185-187). Queries stream through mapInPandas in Arrow batches.
+
+    The data side is collected to the driver ONLY after a row-cap probe
+    (``limit(cap+1).count()`` — no full scan): above ``cap`` rows the call
+    falls through to :func:`cosine_topk_lsh` (approximate, bucketed — the
+    scale path), mirroring the reference's BF/LSH capacity switch."""
+    over_cap = data.limit(cap + 1).count() > cap
+    if over_cap:
+        first = data.select(vec).head()
+        dim = len(first[0]) if first is not None else 0
+        kw = dict(n_planes=8, n_tables=8)
+        kw.update(lsh_kwargs or {})
+        return cosine_topk_lsh(
+            queries, data, dim=dim, k=k, qid=qid, did=did, vec=vec, **kw
+        )
     d_pdf = data.select(did, vec).toPandas()
+    assert len(d_pdf) <= cap  # probe above guarantees this
     d_ids = d_pdf[did].to_numpy()
     dmat = np.vstack(d_pdf[vec].to_numpy()).astype(np.float64)
     dmat /= np.linalg.norm(dmat, axis=1, keepdims=True) + 1e-30
