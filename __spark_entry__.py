@@ -362,31 +362,130 @@ def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.quantize_normalize(pts, "z", exact=True).select("pid", "z_u8")
 
 
-# ------------------------------------------------- rows-only (non-SQL) ops
+# ------------------------------------------- sketch ops with value oracles
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banded-LSH candidates -> exact Jaccard verify, ORACLE-CHECKED
+    against DuckDB's exact all-pairs word-3-gram Jaccard: at 32 bands of 2
+    lanes the per-pair miss probability at j>=0.7 is (1-0.49)^32 ~ 1e-9, so
+    the LSH pair set EQUALS the exact >=0.7 set, and the hashed-shingle
+    Jaccard value equals the string-shingle value (31-bit hash collisions
+    are ~1e-4 probability across this corpus and checked absent)."""
     from codem_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16)
-    return dedup.jaccard_verify(cands, docs, threshold=0.7)
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=32, bucket_cap=None
+    )
+    return dedup.jaccard_verify(cands, docs, threshold=0.7).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    # exact word-3-gram Jaccard, mirroring shingles_col's normalization
+    # (lower/trim/whitespace-collapse, 3-token windows, per-doc distinct)
+    jac = (
+        "round(len(list_intersect(a.g, b.g))::double"
+        " / len(list_distinct(list_concat(a.g, b.g)))::double, 6)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard
+    FROM grams a, grams b
+    WHERE a.doc_id < b.doc_id AND {jac} >= 0.7
+    """
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidates, SELF-VERIFYING: 4x16-bit bands are
+    pigeonhole-complete for Hamming <= 3 (any pair within Hamming 3 leaves
+    one band untouched), so the banded candidate set must EQUAL the exact
+    all-pairs bit_count(xor) <= 3 set, computed inline (pure-JVM cross
+    join on the 64-bit fingerprints — quadratic, which is exactly why it's
+    the verifier and banding is the operator). Oracle: (1, 0, 0)."""
     from codem_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # small-data config: 4x16-bit bands catch ALL pairs within Hamming 3
-    # (pigeonhole-complete); the default 2x32-bit config is the 10^9-doc
-    # scale path where 16-bit band keyspaces would overflow buckets
-    return dedup.simhash_candidates(docs, band_bits=16, hamming_max=3)
+    # fingerprints computed ONCE (persisted) and shared by the banded path
+    # and the exact verifier — one scan-side UDF pass total
+    d = docs.select(
+        F.col("doc_id").alias("did"), dedup.simhash_col(F.col("text")).alias("sh")
+    ).persist()
+    banded = dedup.simhash_candidates_from(
+        d, band_bits=16, hamming_max=3, bucket_cap=None
+    ).select("id_a", "id_b")
+    a = d.select(F.col("did").alias("id_a"), F.col("sh").alias("sa"))
+    b = d.select(F.col("did").alias("id_b"), F.col("sh").alias("sb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    # one job for all three checks: full outer join of the two pair sets
+    j = exact.withColumn("_e", F.lit(1)).join(
+        banded.withColumn("_b", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    row = j.agg(
+        F.max(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("has_pairs"),
+        F.coalesce(F.sum(F.col("_b").isNull().cast("int")), F.lit(0)).alias("n_missing"),
+        F.coalesce(F.sum(F.col("_e").isNull().cast("int")), F.lit(0)).alias("n_false"),
+    ).collect()[0]
+    d.unpersist()
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "has_pairs": [int(row["has_pairs"] or 0)],
+                "n_missing": [int(row["n_missing"])],
+                "n_false": [int(row["n_false"])],
+            }
+        )
+    )
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN LSH top-k with PLANTED ground truth: 50 query vectors are tiny
+    deterministic perturbations (per-component scale in [0.992, 1.008],
+    cosine ~0.99997) of data vectors; multi-table hyperplane LSH finds a
+    near-identical vector with miss probability ~(theta/pi*6)^8 ~ 1e-12,
+    and the exact re-rank must put the source at rank 1. Oracle: (50, 50)."""
     from codem_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 50)
-    return similarity.cosine_topk_lsh(q, emb, dim=64, k=3, n_planes=6, n_tables=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: v
+            * (
+                F.lit(0.992)
+                + F.pmod(F.col("vec_id") * 13 + i * 7, F.lit(5)).cast("double")
+                * F.lit(0.004)
+            ),
+        ).alias("embedding"),
+    )
+    top1 = similarity.cosine_topk_lsh(
+        planted, emb, dim=64, k=1, n_planes=6, n_tables=8
+    )
+    return top1.agg(
+        F.count("*").alias("n_q"),
+        F.sum((F.col("d_id") == F.col("q_id") - 10_000).cast("int")).alias(
+            "n_top1_correct"
+        ),
+    )
 
 
 def _q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,26 +503,131 @@ def _q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring, ORACLE-CHECKED per document against a
+    full SQL twin of both heuristics (marker-count argmax; length/punct/
+    stopword composite) — the same cross-engine value check the colormap/
+    UTM entries use. The fingerprint column has no SQL twin (xxhash64) and
+    is exposed as a range-invariant flag."""
     from codem_spark.functions import text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = text.fingerprint_col(F.col("text"))
     return docs.select(
         "doc_id",
         text.lang_id_col(F.col("text")).alias("lang_pred"),
         text.quality_score_col(F.col("text")).alias("quality"),
-        text.fingerprint_col(F.col("text")).alias("fingerprint"),
+        ((fp >= 0) & (fp < 1_000_000_007)).cast("int").alias("fp_ok"),
     )
 
 
+def _lang_quality_oracle_sql() -> str:
+    from codem_spark.functions.text import _LANG_MARKERS, _STOPWORDS
+
+    structs = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{m}', '')))::double / {max(len(m), 1)}"
+            for m in markers
+        )
+        structs.append(f"{{'score': ({terms}), 'lang': '{lang}'}}")
+    best = f"list_aggregate([{', '.join(structs)}], 'max')"
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             ' ' || lower(text) || ' ' AS low,
+             length(text)::double AS n,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, {best} AS best,
+             least(1.0, n / 500.0) * (CASE WHEN n > 50000 THEN 0.5 ELSE 1.0 END) AS len_score,
+             CASE WHEN n > 0
+                  THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::double / n
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> t IN ({stop_list})))::double / len(toks)::double
+                  ELSE 0.0 END AS stop_ratio
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           round(len_score * 0.4
+                 + (CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2
+                         THEN 1.0 ELSE 0.5 END) * 0.3
+                 + least(1.0, stop_ratio * 4.0) * 0.3, 6) AS quality,
+           1 AS fp_ok
+    FROM scored
+    """
+
+
+def _exact_union_find(p, tol: float):
+    """Exact single-machine Euclidean clustering (grid-bucketed pair scan +
+    union-find), independent of the distributed operator's tile/border
+    construction. Returns the canonical min-pid label per point (or -1
+    below min_points — applied by the caller)."""
+    import numpy as np
+
+    n = len(p)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    cell = np.floor(p / tol).astype(np.int64)
+    order = np.lexsort((cell[:, 1], cell[:, 0]))
+    keys = {}
+    for idx in order:
+        keys.setdefault((cell[idx, 0], cell[idx, 1]), []).append(idx)
+    t2 = tol * tol
+    for (cx, cy), members in keys.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                other = keys.get((cx + dx, cy + dy))
+                if other is None:
+                    continue
+                a = np.asarray(members)
+                b = np.asarray(other)
+                d2 = ((p[a][:, None, :] - p[b][None, :, :]) ** 2).sum(2)
+                for i, j in zip(*np.nonzero(d2 <= t2)):
+                    ra, rb = find(a[i]), find(b[j])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
 def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 Euclidean clustering over a dense subsample of the derived cloud."""
+    """J8 Euclidean clustering over a dense subsample of the derived cloud,
+    ORACLE-CHECKED per point: the distributed tile+border labels are
+    canonical (min pid of the component), so they must equal an exact
+    single-machine union-find on the same points — returned as (pid, ok=1)
+    rows whose pid set DuckDB derives from the lineitem arithmetic."""
+    import numpy as np
+    import pandas as pd
+
     from codem_spark.operators import cluster
 
     # pid % 8 is never 0 (l_linenumber in 1..7) — use a residue that occurs
     pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 1).withColumn(
         "z", F.lit(0.0)
     )
-    return cluster.euclidean_cluster(pts, EXTENT, tolerance=600.0, min_points=5)
+    got = cluster.euclidean_cluster(pts, EXTENT, tolerance=600.0, min_points=5)
+    gp = got.toPandas().sort_values("pid").reset_index(drop=True)
+    src = pts.select("pid", "x", "y").toPandas().sort_values("pid").reset_index(drop=True)
+    roots = _exact_union_find(src[["x", "y"]].to_numpy(np.float64), 600.0)
+    pid_arr = src.pid.to_numpy()
+    labels = pid_arr[roots]
+    # canonical label = min pid of component; cull below min_points like the op
+    sizes = pd.Series(labels).groupby(labels).transform("size").to_numpy()
+    exp = np.where(sizes >= 5, labels, -1)
+    exp_by_pid = dict(zip(pid_arr, exp))
+    ok = np.array([exp_by_pid.get(p_, None) == c for p_, c in zip(gp.pid, gp.cluster_id)])
+    out = pd.DataFrame({"pid": gp.pid.to_numpy(), "ok": ok.astype(np.int64)})
+    return spark.createDataFrame(out)
 
 
 def _q_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,10 +672,21 @@ def _q_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = P.coarse_registration(prep, cfg)
     prep.fnd_dsm.unpersist()
     prep.aoi_dsm.unpersist()
+    # ORACLE-CHECKED envelope: the recovered transform composed with the
+    # planted perturbation must be ~identity within the reference's own
+    # test envelope (reference tests/test_registration.py RMSE/parameter
+    # thresholds); booleans are partition-order-stable where raw float
+    # params are not. Oracle: one all-ones row.
+    from codem_spark.functions.geo import decompose_similarity
+
+    resid = np.array(c.matrix) @ M
+    d = decompose_similarity(resid)
     rec = {
-        k: [float(v)] if not isinstance(v, (int, list)) else [v]
-        for k, v in c.to_dict().items()
-        if k not in ("matrix", "matrix_native") and v is not None
+        "scale_ok": [int(abs(d["scale"] - 1.0) < 0.01)],
+        "rot_ok": [int(all(abs(d[a]) < 1.0 for a in ("omega", "phi", "kappa")))],
+        "trans_ok": [int(all(abs(d[t]) < 8.0 for t in ("trans_x", "trans_y", "trans_z")))],
+        "pairs_ok": [int(c.n_pairs >= 5)],
+        "rmse_ok": [int(c.rmse_3d < 2.5)],
     }
     return spark.createDataFrame(pd.DataFrame(rec))
 
@@ -507,12 +722,121 @@ def _q_fine_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     moving = spark.createDataFrame(mv)
     cfg = EngineConfig(min_resolution=4.0, icp_max_iter=8)
     params = icp.fine_registration(fixed, moving, ext, resolution=4.0, cfg=cfg, knn_radius=6.0)
+    # ORACLE-CHECKED envelope vs the planted (+1.5, -1.0, +0.5) shift —
+    # point-to-plane ICP on noise-free data recovers it to ~millimeters
+    # (tests/test_registration.py pins the tighter envelope); one-hot row.
     rec = {
-        k: [float(v)] if not isinstance(v, (int, list)) else [v]
-        for k, v in params.to_dict().items()
-        if k not in ("matrix", "matrix_native") and v is not None
+        "tx_ok": [int(abs(params.trans_x + 1.5) < 0.25)],
+        "ty_ok": [int(abs(params.trans_y - 1.0) < 0.25)],
+        "tz_ok": [int(abs(params.trans_z + 0.5) < 0.25)],
+        "rmse_ok": [int(params.rmse_3d < 0.3)],
     }
     return spark.createDataFrame(pd.DataFrame(rec))
+
+
+# ---------------------------------------------------- hull + mesh entries
+# Two deterministic box clusters: interior points from id lanes plus the 8
+# pinned corners, so the 3D convex hull IS the box and volume/area/footprint
+# have closed forms the oracle states as literals (reference
+# vcd/meshing/mesh.py:58-62 trimesh hull.volume/hull.area semantics).
+_HULL_BOXES = (
+    # (cluster pid base, n interior, x0, y0, z0, w, d, h, dz)
+    (0, 1000, 10_000.0, 10_000.0, 40.0, 3000.0, 2000.0, 80.0, 5.0),
+    (2000, 1000, 60_000.0, 40_000.0, 10.0, 5000.0, 1000.0, 40.0, -3.0),
+)
+
+
+def _q_cluster_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/A7: per-cluster 3D-hull summaries over planted box clusters."""
+    import pandas as pd
+
+    from codem_spark.functions import geo
+    from codem_spark.operators import hull
+
+    frames = []
+    for base, n, x0, y0, z0, w, d, h, dz in _HULL_BOXES:
+        ids = spark.range(0, n).select((F.col("id") + base).alias("pid"))
+        interior = ids.select(
+            "pid",
+            (F.lit(x0) + geo.id_lane_col(F.col("pid"), 0) * F.lit(w)).alias("x"),
+            (F.lit(y0) + geo.id_lane_col(F.col("pid"), 1) * F.lit(d)).alias("y"),
+            (F.lit(z0) + geo.id_lane_col(F.col("pid"), 2) * F.lit(h)).alias("z"),
+            F.lit(dz).alias("dz"),
+            F.lit(base).alias("cluster_id"),
+        )
+        corners = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "pid": base + n + i,
+                        "x": x0 + cx * w,
+                        "y": y0 + cy * d,
+                        "z": z0 + cz * h,
+                        "dz": dz,
+                        "cluster_id": base,
+                    }
+                    for i, (cx, cy, cz) in enumerate(
+                        (a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)
+                    )
+                ]
+            )
+        )
+        frames.append(interior.unionByName(corners))
+    pts = frames[0].unionByName(frames[1])
+    s = hull.cluster_summaries(pts)
+    return s.select(
+        "cluster_id",
+        "n_points",
+        F.round("volume", 2).alias("volume"),
+        F.round("area", 2).alias("area"),
+        F.round("footprint_area", 2).alias("footprint_area"),
+        F.round("mean_dz", 6).alias("mean_dz"),
+        "status",
+    )
+
+
+def _cluster_hull_oracle_sql() -> str:
+    rows = []
+    for base, n, _x0, _y0, _z0, w, d, h, dz in _HULL_BOXES:
+        vol = round(w * d * h, 2)
+        area = round(2 * (w * d + w * h + d * h), 2)
+        fp = round(w * d, 2)
+        status = "New" if dz > 0 else "Fled"
+        rows.append(
+            f"({base}, {n + 8}, {vol!r}, {area!r}, {fp!r}, {round(dz, 6)!r}, '{status}')"
+        )
+    return (
+        "SELECT cluster_id::BIGINT AS cluster_id, n_points::BIGINT AS n_points, "
+        "volume, area, footprint_area, mean_dz, status FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(cluster_id, n_points, volume, area, footprint_area, mean_dz, status)"
+    )
+
+
+def _q_mesh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: mesh-vertex ingestion through the DISTRIBUTED OBJ text scan
+    (io/mesh.py) — coordinates are exact binary fractions so the write ->
+    parse roundtrip is bit-exact and the oracle is closed-form."""
+    import os
+
+    path = "/tmp/codem_spark_mesh_ingest.obj"
+    tmp = f"{path}.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("# codem_spark mesh_ingest fixture\no fixture\n")
+        for i in range(500):
+            f.write(f"v {i * 0.5} {i * 0.25} {i * 0.125}\n")
+        f.write("f 1 2 3\n")
+    os.replace(tmp, path)  # atomic vs concurrent query runs
+    from codem_spark.io import mesh
+
+    return mesh.read_obj_vertices(spark, path).select("x", "y", "z")
+
+
+def _mesh_ingest_oracle_sql() -> str:
+    return """
+    SELECT range * 0.5 AS x, range * 0.25 AS y, range * 0.125 AS z
+    FROM range(0, 500)
+    """
 
 
 # ---------------------------------------------------------------- contract
@@ -544,7 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_resample": _q_tin_resample,
         "tpch_grid_agg": _q_tpch_grid_agg,
         "quantize": _q_quantize,
-        # rows-only (non-SQL-expressible: hashed sketches / iterative solvers)
+        "cluster_hull": _q_cluster_hull,
+        "mesh_ingest": _q_mesh_ingest,
+        # value-checked via exact-truth oracles (DuckDB twin, planted truth,
+        # inline exact verifier, or envelope row — see each docstring)
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
@@ -661,6 +988,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2""",
         "quantize": _quantize_oracle_sql(),
+        "cluster_hull": _cluster_hull_oracle_sql(),
+        "mesh_ingest": _mesh_ingest_oracle_sql(),
+        "minhash_lsh": _minhash_lsh_oracle_sql(),
+        "lang_quality": _lang_quality_oracle_sql(),
+        # self-verifying entries: the query computes the exact truth inline
+        # (planted perturbations / pigeonhole-complete exact cross join /
+        # per-point exact union-find / reference-envelope residuals) and the
+        # oracle pins the invariant the construction guarantees
+        "simhash": (
+            "SELECT 1::BIGINT AS has_pairs, 0::BIGINT AS n_missing, "
+            "0::BIGINT AS n_false"
+        ),
+        "lsh_topk": "SELECT 50::BIGINT AS n_q, 50::BIGINT AS n_top1_correct",
+        "text_extract": (
+            "SELECT lang, n::BIGINT AS n, n_ok::BIGINT AS n_ok FROM (VALUES "
+            "('en', 400, 400), ('de', 400, 400), ('fr', 400, 400), "
+            "('es', 400, 400), ('zh', 400, 400)) AS t(lang, n, n_ok)"
+        ),
+        "euclidean_cluster": f"""
+            SELECT pid, 1::BIGINT AS ok FROM ({pts}) WHERE pid % 8 = 1""",
+        "coarse_registration": (
+            "SELECT 1::BIGINT AS scale_ok, 1::BIGINT AS rot_ok, "
+            "1::BIGINT AS trans_ok, 1::BIGINT AS pairs_ok, 1::BIGINT AS rmse_ok"
+        ),
+        "fine_registration": (
+            "SELECT 1::BIGINT AS tx_ok, 1::BIGINT AS ty_ok, "
+            "1::BIGINT AS tz_ok, 1::BIGINT AS rmse_ok"
+        ),
     }
 
 

@@ -401,6 +401,19 @@ def simhash_candidates(
     d = df.select(
         F.col(id_col).alias("did"), simhash_col(F.col(text_col)).alias("sh")
     ).persist()  # joined back onto both pair sides for the hamming distance
+    return simhash_candidates_from(d, band_bits, hamming_max, bucket_cap)
+
+
+def simhash_candidates_from(
+    d: DataFrame,
+    band_bits: int = 32,
+    hamming_max: int = 1,
+    bucket_cap: int | None = 64,
+) -> DataFrame:
+    """Banding half of :func:`simhash_candidates` over a PRECOMPUTED
+    (did, sh) fingerprint frame — callers that also need the fingerprints
+    (e.g. an exact verifier) compute them once, persist, and avoid a second
+    scan-side UDF pass."""
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bexpr = F.array(
