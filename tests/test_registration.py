@@ -73,14 +73,67 @@ def _perturb(aoi: pd.DataFrame, M: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"pid": aoi.pid.values, "x": A[:, 0], "y": A[:, 1], "z": A[:, 2]})
 
 
-@pytest.mark.parametrize("case", ["identity", "rot360", "translate_x10", "rot180", "rot90_translate"])
-def test_coarse_recovers_inverse(spark, clouds, case):
+# ---------------------------------------------------------------------------
+# The reference's FULL registration matrix (tests/test_registration.py:66-115)
+# is 3 foundation input types x (5 point-cloud perturbations + 1 raster AOI)
+# = 18 cases. The engine twins: foundation as a raw point table, as a DSM
+# tile table (gx, gy, z -> dsm_to_points, the DEM-foundation analog), and as
+# a declarative pipeline JSON spec (the Pipeline-foundation analog,
+# tests/point_cloud.py:85-103); AOI as the 5 perturbed clouds or as a
+# rasterized tile table (the dem_aoi analog).
+
+
+@pytest.fixture(scope="module")
+def foundation_sources(spark, clouds, tmp_path_factory):
+    from codem_spark.operators import grid
+    from codem_spark.plans import pipeline_json as PJ
+
+    fnd, _aoi0 = clouds
+    pq = str(tmp_path_factory.mktemp("regmat") / "fnd.parquet")
+    spark.createDataFrame(fnd).write.mode("overwrite").parquet(pq)
+
+    def points():
+        return spark.read.parquet(pq)
+
+    def raster():
+        dsm = grid.grid_max(spark.read.parquet(pq), EXT, RES)
+        return grid.dsm_to_points(dsm, EXT, RES, area_or_point="Area")
+
+    def pipeline():
+        spec = [
+            pq,
+            {"type": "filters.range", "limits": "Z[0:]"},
+            {"type": "filters.assign", "assignment": "Classification[:]=2"},
+            {"type": "writers.gdal", "resolution": RES, "filename": "out.tif"},
+        ]
+        df, writers = PJ.pipeline_from_json(spark, spec)
+        assert len(writers) == 1  # stripped like reference preprocess.py:628
+        return df.select("pid", "x", "y", "z")
+
+    return {"points": points, "raster": raster, "pipeline": pipeline}
+
+
+@pytest.mark.parametrize("foundation_kind", ["points", "raster", "pipeline"])
+@pytest.mark.parametrize(
+    "case",
+    ["identity", "rot360", "translate_x10", "rot180", "rot90_translate", "raster_aoi"],
+)
+def test_coarse_recovers_inverse(spark, clouds, foundation_sources, foundation_kind, case):
     fnd, aoi0 = clouds
-    M = CASES[case]
-    aoi = _perturb(aoi0, M)
+    if case == "raster_aoi":
+        # dem_aoi analog: the AOI itself is a rasterized tile table
+        from codem_spark.operators import grid
+
+        M = np.eye(4)
+        aoi_df = grid.dsm_to_points(
+            grid.grid_max(spark.createDataFrame(aoi0), EXT, RES), EXT, RES
+        )
+    else:
+        M = CASES[case]
+        aoi_df = spark.createDataFrame(_perturb(aoi0, M))
     cfg = EngineConfig(min_resolution=RES)
     prep = P.preprocess(
-        spark.createDataFrame(fnd), spark.createDataFrame(aoi), extent=EXT, cfg=cfg, resolution=RES
+        foundation_sources[foundation_kind](), aoi_df, extent=EXT, cfg=cfg, resolution=RES
     )
     c = P.coarse_registration(prep, cfg)
     prep.fnd_dsm.unpersist()
