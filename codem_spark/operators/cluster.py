@@ -131,6 +131,8 @@ def euclidean_cluster(
     # alone needs O(graph diameter) rounds; the shortcut step lets an entire
     # label group jump to the smallest label any member saw, giving
     # O(log diameter) rounds, each a bounded shuffle keyed by pid / label.
+    prev_sum = None  # label-sum of `labels`; carried across rounds so each
+    # round costs ONE scalar agg (the old sum is last round's new sum)
     for _ in range(max_rounds):
         la = labels.withColumnsRenamed({"pid": "a", "label": "la"})
         lb = labels.withColumnsRenamed({"pid": "b", "label": "lb"})
@@ -155,11 +157,13 @@ def euclidean_cluster(
         # decrease the label sum; fixpoint <=> sum unchanged. (A join-based
         # old-vs-new compare would hit the shared-lineage attribute collapse
         # — see operators/knn.py — and silently always 'converge'.)
-        old_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_sum is None:
+            prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if old_sum == new_sum:
+        if prev_sum == new_sum:
             break
+        prev_sum = new_sum
     # size filter: clusters below min_points -> -1 (reference culls them)
     sized = labels.groupBy("label").agg(F.count("*").alias("n"))
     return (

@@ -244,15 +244,22 @@ def knn_join(
     r_carry: tuple[str, ...] = (),
     ring: int = 1,
     level: int | None = None,
+    n_left: int | None = None,
 ) -> DataFrame:
     """Radius-bounded k-nearest-neighbor join (left row -> up to k nearest
     right rows within ``radius`` in ``dims``-space; xy drives tiling).
 
     Output columns: lid, n_<rid>, nn_dist, nn_rank, l_<carry...>, r_<carry...>.
+
+    ``level=None`` sizes tiles from the left-side row count, which costs a
+    count() job — loop callers should pass ``level`` (the ICP loop does) or
+    the ``n_left`` hint when the count is already known.
     """
     if level is None:
         par = left.sparkSession.sparkContext.defaultParallelism
-        level = auto_level(extent, radius / max(ring, 1), left.count(), parallelism=par)
+        if n_left is None:
+            n_left = left.count()
+        level = auto_level(extent, radius / max(ring, 1), n_left, parallelism=par)
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
     rc = cells.with_cell(right, "x", "y", extent, level)
     rh = cells.explode_halo(
