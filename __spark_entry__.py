@@ -839,6 +839,82 @@ def _mesh_ingest_oracle_sql() -> str:
     """
 
 
+def _q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-new streaming tier, executed FOR REAL through Structured
+    Streaming: the events table is read as a file stream (micro-batches),
+    watermarked on event time, windowed per hour x event_type, driven to a
+    memory sink with processAllAvailable, and the materialized result is
+    returned. The oracle is the equivalent batch SQL (epoch-aligned hour
+    windows = date_trunc), so the streaming execution path itself is
+    value-checked against DuckDB."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source requires a DIRECTORY — stage the events file
+    # into /tmp (idempotent per sf_dir; testdata itself is read-only)
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    stage_dir = f"/tmp/codem_spark_stream_events_{tag}"
+    os.makedirs(stage_dir, exist_ok=True)
+    dst = os.path.join(stage_dir, "events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        shutil.copyfile(src, dst + f".{os.getpid()}")
+        os.replace(dst + f".{os.getpid()}", dst)  # atomic vs concurrent runs
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"stream_win_agg_{os.getpid()}_{int(time.time() * 1000) % 100000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    # materialize before the memory sink table goes away with the query
+    import pandas as pd  # noqa: F401
+
+    return spark.createDataFrame(out.toPandas())
+
+
+def _streaming_window_agg_oracle_sql() -> str:
+    return """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -870,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": _q_quantize,
         "cluster_hull": _q_cluster_hull,
         "mesh_ingest": _q_mesh_ingest,
+        "streaming_window_agg": _q_streaming_window_agg,
         # value-checked via exact-truth oracles (DuckDB twin, planted truth,
         # inline exact verifier, or envelope row — see each docstring)
         "minhash_lsh": _q_minhash_lsh,
@@ -990,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize": _quantize_oracle_sql(),
         "cluster_hull": _cluster_hull_oracle_sql(),
         "mesh_ingest": _mesh_ingest_oracle_sql(),
+        "streaming_window_agg": _streaming_window_agg_oracle_sql(),
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "lang_quality": _lang_quality_oracle_sql(),
         # self-verifying entries: the query computes the exact truth inline
