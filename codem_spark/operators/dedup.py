@@ -124,7 +124,7 @@ def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def _minhash_matrix(
-    s: pd.Series, a_vec: np.ndarray, b_vec: np.ndarray, chunk_flat: int = 64_000
+    s: pd.Series, a_vec: np.ndarray, b_vec: np.ndarray, chunk_flat: int = 256_000
 ) -> np.ndarray:
     """(n_rows, num_hashes) minhash matrix over a batch of shingle arrays.
 
@@ -132,12 +132,13 @@ def _minhash_matrix(
     ``chunk_flat``: the (N, H) modular-product temporary is the hot
     allocation (an unchunked 65536-row Arrow batch of ~200-shingle docs is a
     13M x 64 x 8 B = ~6.7 GB temp PER python worker — 32 workers of those
-    thrash the box and flatten the core-scaling curve). Chunked at 64k flat
-    entries the temp is ~33 MB per worker; results are bit-identical.
-    The small chunk also bounds exposure to this sandbox's host-level
-    page-fault stalls, which intermittently make a LARGE fresh allocation
-    20-60x slower (measured: the same 133 MB product took 0.2 s or 13 s
-    run-to-run under identical code)."""
+    thrash the box and flatten the core-scaling curve). Chunked, results
+    are bit-identical. 256k flat entries (~130 MB temp per worker) measured
+    best at sf0.1/32 cores: 64k -> 14.8 s, 128k -> 10.5 s, 256k -> 8.0 s,
+    512k -> 8.8 s for the full candidates+verify pipeline (best-of-3 each)
+    — the per-chunk numpy dispatch overhead dominates below 256k now that
+    the tmpfs shuffle dir removed the allocation-stall pressure that
+    originally justified 64k."""
     num_hashes = len(a_vec)
     n = len(s)
     out = np.full((n, num_hashes), _MH_PRIME, dtype=np.int64)
