@@ -839,6 +839,35 @@ def _mesh_ingest_oracle_sql() -> str:
     """
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup with PLANTED truth: 50 perturbed
+    copies (cosine ~0.99997 to their sources, ids +10000) are appended; the
+    LSH-candidates -> exact-cosine-verify -> drop-higher-id pipeline must
+    remove exactly the planted copies (random 64-dim vectors have pairwise
+    cosine far below 0.99), so the survivors are precisely the original
+    table — a closed-form oracle."""
+    from codem_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: v
+            * (
+                F.lit(0.992)
+                + F.pmod(F.col("vec_id") * 13 + i * 7, F.lit(5)).cast("double")
+                * F.lit(0.004)
+            ),
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    kept = similarity.embedding_cosine_dedup(both, dim=64, threshold=0.99)
+    return kept.select("vec_id")
+
+
 def _q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-new streaming tier, executed FOR REAL through Structured
     Streaming: the events table is read as a file stream (micro-batches),
@@ -947,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_hull": _q_cluster_hull,
         "mesh_ingest": _q_mesh_ingest,
         "streaming_window_agg": _q_streaming_window_agg,
+        "embedding_dedup": _q_embedding_dedup,
         # value-checked via exact-truth oracles (DuckDB twin, planted truth,
         # inline exact verifier, or envelope row — see each docstring)
         "minhash_lsh": _q_minhash_lsh,
@@ -1068,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_hull": _cluster_hull_oracle_sql(),
         "mesh_ingest": _mesh_ingest_oracle_sql(),
         "streaming_window_agg": _streaming_window_agg_oracle_sql(),
+        "embedding_dedup": "SELECT vec_id FROM embeddings",
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "lang_quality": _lang_quality_oracle_sql(),
         # self-verifying entries: the query computes the exact truth inline

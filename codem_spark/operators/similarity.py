@@ -199,8 +199,39 @@ def cosine_topk_lsh(
     impl: "expr" = JVM literal-plane expressions (whole-stage codegen; fine
     to ~dim 64), "udf" = one Arrow matmul pass (high-dim scale path),
     "auto" = switch on total plane-literal count."""
+    pairs = lsh_candidate_pairs(
+        queries, data, dim, n_planes, n_tables, qid=qid, did=did, vec=vec, impl=impl
+    )
+    sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
+    return (
+        pairs.select("q_id", "d_id", F.round(sim, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_candidate_pairs(
+    queries: DataFrame,
+    data: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    qid: str = "vec_id",
+    did: str = "vec_id",
+    vec: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Multi-table LSH bucket-collision candidate pairs
+    (q_id, q_vec, d_id, d_vec), deduplicated across tables — the shared
+    shuffle core of :func:`cosine_topk_lsh` and
+    :func:`embedding_cosine_dedup`. Shuffle is keyed by (table, bucket)."""
     if impl == "auto":
-        impl = "udf" if dim * n_planes * n_tables > 4096 else "expr"
+        # measured at dim=64, 6 planes x 8 tables (3072 literals): the expr
+        # path spends ~20-40 s in analysis/codegen of the unrolled literal
+        # trees before any data moves — the one-Arrow-matmul-pass UDF path
+        # wins well below the old 4096 cutoff
+        impl = "udf" if dim * n_planes * n_tables > 1024 else "expr"
 
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         src_id = qid if id_alias == "q_id" else did
@@ -232,16 +263,37 @@ def cosine_topk_lsh(
 
     qb = bucketize(queries, "q_id", "q_vec")
     db = bucketize(data, "d_id", "d_vec")
-    pairs = (
+    return (
         qb.join(db, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("d_id"))
         .select("q_id", "q_vec", "d_id", "d_vec")
         .dropDuplicates(["q_id", "d_id"])
     )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    impl: str = "auto",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal — the dedup-family member
+    over an embedding column: LSH bucket-collision candidates (never
+    all-pairs), exact cosine verify at ``threshold``, drop the higher id of
+    each confirmed pair (greedy, deterministic — the same contract as
+    :func:`codem_spark.operators.dedup.minhash_dedup`). Near-identical
+    vectors (the near-dup regime, angle ~0) collide in some table with
+    probability ~1 - (angle/pi * n_planes)^n_tables ~ 1, so recall at
+    dedup-grade thresholds is not the recall of top-k search."""
+    pairs = lsh_candidate_pairs(
+        df, df, dim, n_planes, n_tables, qid=id_col, did=id_col, vec=vec, impl=impl
+    ).filter(F.col("q_id") < F.col("d_id"))
     sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
-    return (
-        pairs.select("q_id", "d_id", F.round(sim, 6).alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    dup = pairs.filter(sim >= F.lit(threshold)).select(
+        F.col("d_id").alias(id_col)
+    ).distinct()
+    return df.join(dup, id_col, "left_anti")

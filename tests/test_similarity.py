@@ -94,3 +94,30 @@ def test_matmul_cap_boundary_and_lsh_fallthrough(spark, monkeypatch):
     assert called.get("lsh") is True
     assert over.columns == ["q_id", "d_id", "cos_sim", "rank"]
     assert over.count() > 0
+
+
+def test_embedding_cosine_dedup_drops_planted_copies(spark):
+    """Dedup-family member over embeddings: planted near-copies (cosine
+    ~0.9999) are dropped (higher id), genuinely distinct vectors survive,
+    and a stricter threshold that nothing meets drops nothing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from codem_spark.operators import similarity
+
+    rng = np.random.default_rng(12)
+    n, dim = 300, 32
+    base = rng.standard_normal((n, dim))
+    copies = base[:40] * (1.0 + rng.uniform(-0.004, 0.004, (40, dim)))
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.concatenate([np.arange(n), np.arange(40) + 10_000]),
+            "embedding": list(np.vstack([base, copies])),
+        }
+    )
+    df = spark.createDataFrame(emb)
+    kept = similarity.embedding_cosine_dedup(df, dim=dim, threshold=0.99).toPandas()
+    assert set(kept.vec_id) == set(range(n))  # every planted copy dropped
+    kept_strict = similarity.embedding_cosine_dedup(df, dim=dim, threshold=0.9999999).toPandas()
+    assert len(kept_strict) == n + 40  # nothing meets the bar -> no drops
