@@ -280,20 +280,52 @@ def embedding_cosine_dedup(
     n_planes: int = 6,
     n_tables: int = 8,
     impl: str = "auto",
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal — the dedup-family member
-    over an embedding column: LSH bucket-collision candidates (never
-    all-pairs), exact cosine verify at ``threshold``, drop the higher id of
-    each confirmed pair (greedy, deterministic — the same contract as
-    :func:`codem_spark.operators.dedup.minhash_dedup`). Near-identical
-    vectors (the near-dup regime, angle ~0) collide in some table with
-    probability ~1 - (angle/pi * n_planes)^n_tables ~ 1, so recall at
-    dedup-grade thresholds is not the recall of top-k search."""
-    pairs = lsh_candidate_pairs(
-        df, df, dim, n_planes, n_tables, qid=id_col, did=id_col, vec=vec, impl=impl
-    ).filter(F.col("q_id") < F.col("d_id"))
-    sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
-    dup = pairs.filter(sim >= F.lit(threshold)).select(
-        F.col("d_id").alias(id_col)
-    ).distinct()
+    over an embedding column: one bucketize pass (all ``n_tables`` LSH
+    buckets per vector), candidate pairs through the SAME hot-bucket-guarded
+    machinery as minhash banding (``dedup._bucket_pairs``: buckets over
+    ``bucket_cap`` emit O(m) star pairs vs the bucket-min representative —
+    the correct guard when a 10^12-row corpus has million-member duplicate
+    clusters, whose members all verify against the representative and drop,
+    which is the dedup contract), exact cosine verify at ``threshold``,
+    drop the higher id of each confirmed pair. Near-identical vectors
+    (angle ~0) collide in some table with probability
+    ~1 - (angle/pi * n_planes)^n_tables ~ 1, so recall at dedup-grade
+    thresholds is not the recall of top-k search."""
+    from codem_spark.operators.dedup import _bucket_pairs
+
+    if impl == "auto":
+        impl = "udf" if dim * n_planes * n_tables > 1024 else "expr"
+    if impl == "udf":
+        b = df.select(
+            F.col(id_col).alias("did"),
+            lsh_buckets_udf_col(F.col(vec), dim, n_planes, n_tables).alias("_bks"),
+        )
+        banded = b.select("did", F.posexplode("_bks").alias("band", "bkey"))
+    else:
+        tbl = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    lsh_bucket_col(F.col(vec), dim, n_planes, seed=13 + 101 * t).alias("bkey"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        banded = df.select(F.col(id_col).alias("did"), F.explode(tbl).alias("b")).select(
+            "did", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+        )
+    pairs = _bucket_pairs(banded, cap=bucket_cap)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("_vb"))
+    sim = cosine_col(F.col("_va"), F.col("_vb"))
+    dup = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
     return df.join(dup, id_col, "left_anti")

@@ -121,3 +121,31 @@ def test_embedding_cosine_dedup_drops_planted_copies(spark):
     assert set(kept.vec_id) == set(range(n))  # every planted copy dropped
     kept_strict = similarity.embedding_cosine_dedup(df, dim=dim, threshold=0.9999999).toPandas()
     assert len(kept_strict) == n + 40  # nothing meets the bar -> no drops
+
+
+def test_embedding_dedup_hot_bucket_star_guard(spark):
+    """A duplicate cluster larger than bucket_cap: star pairs (member vs
+    bucket-min representative) must still drop every copy except the min id
+    — the O(m) guard a 10^12-row corpus needs instead of O(m^2) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    v = rng.standard_normal(dim)
+    cluster = [v * (1.0 + 1e-5 * k) for k in range(60)]  # 60 near-copies
+    distinct = list(rng.standard_normal((20, dim)))
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(80),
+            "embedding": cluster + distinct,
+        }
+    )
+    df = spark.createDataFrame(emb)
+    kept = similarity.embedding_cosine_dedup(
+        df, dim=dim, threshold=0.999, bucket_cap=8
+    ).toPandas()
+    # survivor of the 60-copy cluster is exactly vec_id 0; distinct rows kept
+    assert set(kept.vec_id) == {0} | set(range(60, 80))
