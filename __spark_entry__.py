@@ -83,6 +83,19 @@ def _q_grid_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("z", 6).alias("z_max"))
 
 
+def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSM pyramid (r4): four cell-resolution levels from ONE shuffle keyed
+    by the coarse ancestor cell — rollups are shuffle-free because
+    HashPartitioning(ancestor) satisfies the rollup groupBys' clustering
+    (operators/grid.cell_pyramid; exchange count asserted in
+    tests/test_grid.py)."""
+    from codem_spark.operators import grid
+
+    pts = _points(spark, sf_dir)
+    out = grid.cell_pyramid(pts, EXTENT, level=10, coarsest=7)
+    return out.select("level", "cell", F.round("z_max", 6).alias("z_max"), "n")
+
+
 def _q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codem_spark.operators import grid
 
@@ -615,6 +628,15 @@ def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 1).withColumn(
         "z", F.lit(0.0)
     )
+    # the exact verifier below is driver-side O(n^2): refuse loudly above
+    # the contract scale instead of going quadratic (VERDICT r3 item 9) —
+    # the BENCH scale path (bench.py bench_cluster) runs the distributed
+    # operator without this verifier
+    n_pts = pts.count()
+    assert n_pts <= 50_000, (
+        f"euclidean_cluster contract verifier is O(n^2) driver-side and got "
+        f"{n_pts} points — run it at sf<=0.01; the bench times the scale path"
+    )
     got = cluster.euclidean_cluster(pts, EXTENT, tolerance=600.0, min_points=5)
     gp = got.toPandas().sort_values("pid").reset_index(drop=True)
     src = pts.select("pid", "x", "y").toPandas().sort_values("pid").reset_index(drop=True)
@@ -954,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_encode": _q_cell_encode,
         "grid_max": _q_grid_max,
+        "cell_pyramid": _q_cell_pyramid,
         "grid_idw": _q_grid_idw,
         "density": _q_density,
         "bounds": _q_bounds,
@@ -1005,6 +1028,10 @@ def oracle_sql() -> dict[str, str]:
         "grid_max": f"""
             SELECT gx, gy, round(z, 6) AS z_max FROM (
               {grid.grid_max_sql(pts, EXTENT, 2000.0)}
+            )""",
+        "cell_pyramid": f"""
+            SELECT level, cell, round(z_max, 6) AS z_max, n FROM (
+              {grid.cell_pyramid_sql(pts, EXTENT, 10, 7)}
             )""",
         "grid_idw": f"""
             SELECT gx, gy, round(z, 6) AS z_idw FROM (

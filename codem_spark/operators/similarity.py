@@ -86,14 +86,36 @@ def cosine_topk_matmul(
     scale path), mirroring the reference's BF/LSH capacity switch."""
     over_cap = data.limit(cap + 1).count() > cap
     if over_cap:
+        # ADVICE r3: an empty data side can't reach here (count==0 <= cap),
+        # but a head() on a just-over-cap frame could race a concurrently
+        # shrinking source — guard dim=0 explicitly, and make the silent
+        # exact->approximate switch visible in the logs.
         first = data.select(vec).head()
-        dim = len(first[0]) if first is not None else 0
+        qt = {f.name: f.dataType.simpleString() for f in queries.schema.fields}[qid]
+        empty_schema = f"q_id {qt}, d_id {qt}, cos_sim double, rank int"
+        if first is None:
+            return queries.sparkSession.createDataFrame([], empty_schema)
+        dim = len(first[0])
+        import warnings
+
+        warnings.warn(
+            f"cosine_topk_matmul: data side exceeds cap={cap} rows — falling "
+            "through to the approximate bucketed LSH path (cosine_topk_lsh)",
+            stacklevel=2,
+        )
         kw = dict(n_planes=8, n_tables=8)
         kw.update(lsh_kwargs or {})
         return cosine_topk_lsh(
             queries, data, dim=dim, k=k, qid=qid, did=did, vec=vec, **kw
         )
     d_pdf = data.select(did, vec).toPandas()
+    if len(d_pdf) == 0:
+        # empty data side: empty result with the contract schema instead of
+        # an obscure downstream vstack failure (ADVICE r3)
+        qt = {f.name: f.dataType.simpleString() for f in queries.schema.fields}[qid]
+        return queries.sparkSession.createDataFrame(
+            [], f"q_id {qt}, d_id {qt}, cos_sim double, rank int"
+        )
     assert len(d_pdf) <= cap  # probe above guarantees this
     d_ids = d_pdf[did].to_numpy()
     dmat = np.vstack(d_pdf[vec].to_numpy()).astype(np.float64)
@@ -328,4 +350,6 @@ def embedding_cosine_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return df.join(dup, id_col, "left_anti")
+    from codem_spark.operators.dedup import carry_probe
+
+    return carry_probe(pairs, df.join(dup, id_col, "left_anti"))

@@ -26,6 +26,19 @@ filters.outlier     SOR -> Classification 7 on flagged points (PDAL
                     convention), via operators/outliers.py
 filters.smrf        ground segmentation -> Classification 2 + HAG column,
                     via operators/ground.py
+filters.returns     only/first/last/intermediate groups (PDAL semantics;
+                    vcd preprocess.py:166,174)
+filters.elm         extended-local-minimum low noise -> Classification 7
+                    (vcd preprocess.py:167), via operators/outliers.py
+filters.cluster     Euclidean clustering -> cluster_id column (vcd
+                    preprocess.py:234-249), via operators/cluster.py
+filters.hag_delaunay TIN height-above-ground from class-2 ground points
+                    (vcd preprocess.py:201-219), via operators/tin.py
+filters.hag_nn      nearest-ground height-above-ground, via operators/knn.py
+filters.normal      PCA plane normals -> nx/ny/nz (preprocess.py:317-350),
+                    via registration/icp.compute_normals
+filters.colorization diverging colormap -> red/green/blue (VCD product
+                    coloring, preprocess.py:330-355)
 writers.*           STRIPPED and returned (the reference does the same,
                     preprocess.py:628-633)
 ==================  =====================================================
@@ -52,6 +65,13 @@ _DIMS = {
     "NumberOfReturns": "number_of_returns",
     "HeightAboveGround": "hag",
     "ClusterID": "cluster_id",
+    "dZ3d": "dz",
+    "NormalX": "nx",
+    "NormalY": "ny",
+    "NormalZ": "nz",
+    "Red": "red",
+    "Green": "green",
+    "Blue": "blue",
 }
 
 
@@ -175,8 +195,14 @@ def _stage_filter(df: DataFrame, stage: dict[str, Any], extent) -> DataFrame:
 
         return clip_bbox(df, (x0, y0, x1, y1))
     if kind == "decimation":
+        # PDAL keeps every step-th point by order; a distributed analog must
+        # be order-free but still UNIFORM: hash the pid before the modulus
+        # (structured pids like orderkey*8+linenumber are never 0 mod 8, so
+        # a bare `pid % step` can select 0 or 2x/step of the data), and
+        # synthesize a pid when the source has none (ADVICE r3).
         step = int(stage.get("step", 2))
-        return df.filter(F.col("pid") % step == 0)
+        src = F.col("pid") if "pid" in df.columns else F.monotonically_increasing_id()
+        return df.filter(F.pmod(F.xxhash64(src), F.lit(step)) == 0)
     if kind == "outlier":
         from codem_spark.operators import grid, outliers
 
@@ -213,6 +239,114 @@ def _stage_filter(df: DataFrame, stage: dict[str, Any], extent) -> DataFrame:
             else F.when(F.col("is_ground"), F.lit(2)).otherwise(F.lit(1))
         )
         return out.withColumn("classification", cls).drop("is_ground")
+    if kind == "returns":
+        # PDAL filters.returns groups=only|first|last|intermediate
+        groups = [g.strip() for g in str(stage.get("groups", "only")).split(",")]
+        if "return_number" not in df.columns:
+            return df
+        conds = []
+        rn, nr = F.col("return_number"), F.col("number_of_returns")
+        for g in groups:
+            if g == "only":
+                conds.append(nr == 1)
+            elif g == "first":
+                conds.append((rn == 1) & (nr > 1))
+            elif g == "last":
+                conds.append((rn == nr) & (nr > 1))
+            elif g == "intermediate":
+                conds.append((rn > 1) & (rn < nr))
+            else:
+                raise ValueError(f"unknown returns group {g!r}")
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+        return df.filter(pred)
+    if kind == "elm":
+        import math as _math
+
+        from codem_spark.operators import grid, outliers
+
+        ext = extent or grid.bounds(df)
+        cell_m = float(stage.get("cell", 10.0))
+        span = max(ext[2] - ext[0], ext[3] - ext[1], cell_m)
+        level = max(0, _math.ceil(_math.log2(span / cell_m)))
+        out = outliers.local_minimum_outliers(
+            df, ext, cell_level=level,
+            threshold=float(stage.get("threshold", 1.0)),
+        )
+        cls = (
+            F.when(F.col("is_low_noise"), F.lit(7)).otherwise(F.col("classification"))
+            if "classification" in df.columns
+            else F.when(F.col("is_low_noise"), F.lit(7)).otherwise(F.lit(0))
+        )
+        return out.withColumn("classification", cls).drop("is_low_noise")
+    if kind == "cluster":
+        # PDAL filters.cluster -> ClusterID column (J8). Cluster labels are
+        # the engine's min-pid convention; below-min_points clusters get -1
+        # (PDAL tags them 0 — callers cull either way).
+        from codem_spark.operators import cluster as cluster_mod
+        from codem_spark.operators import grid
+
+        ext = extent or grid.bounds(df)
+        labels = cluster_mod.euclidean_cluster(
+            df,
+            ext,
+            tolerance=float(stage.get("tolerance", 1.0)),
+            min_points=int(stage.get("min_points", 1)),
+        )
+        return df.join(labels, "pid")
+    if kind in ("hag_delaunay", "hag_nn"):
+        # PDAL: height above ground from class-2 ground points — TIN-
+        # interpolated (hag_delaunay, vcd preprocess.py:201-219) or
+        # nearest-ground (hag_nn). Ground points get hag = 0.
+        from codem_spark.operators import grid, knn, resample
+
+        ext = extent or grid.bounds(df)
+        ground = df.filter(F.col("classification") == 2)
+        nong = df.filter(F.col("classification") != 2)
+        radius = float(stage.get("radius", 50.0))
+        if kind == "hag_delaunay":
+            interp = resample.resample_to_points(
+                ground, nong, ext, radius=radius, value_cols=("z",),
+                method="tin", qid="pid",
+            ).select("pid", F.col("z").alias("ground_z"))
+        else:
+            # nearest single ground point (knn_join_complete pins k=1 —
+            # PDAL hag_nn's default count)
+            j = knn.knn_join_complete(
+                nong.select("pid", "x", "y", "z"),
+                ground.select("pid", "x", "y", "z"),
+                ext, radius=radius, lid="pid", rid="pid", r_carry=("z",),
+            )
+            interp = j.groupBy("pid").agg(F.avg("r_z").alias("ground_z"))
+        hag = nong.join(interp, "pid", "left").withColumn(
+            "hag", F.col("z") - F.coalesce("ground_z", F.col("z"))
+        ).drop("ground_z")
+        return hag.unionByName(ground.withColumn("hag", F.lit(0.0)))
+    if kind == "normal":
+        # PDAL filters.normal knn=8 -> NormalX/Y/Z (reference
+        # preprocess.py:317-350); J4 tile+halo PCA kernel.
+        from codem_spark.operators import grid
+        from codem_spark.registration import icp
+
+        ext = extent or grid.bounds(df)
+        nrm = icp.compute_normals(
+            df, ext, radius=float(stage.get("radius", 25.0)),
+            k=int(stage.get("knn", 9)),
+        ).select("pid", "nx", "ny", "nz")
+        return df.join(nrm, "pid")
+    if kind == "colorization":
+        # VCD product colorization (reference preprocess.py:330-355
+        # TwoSlopeNorm colormap) -> red/green/blue columns.
+        from codem_spark.operators import grid
+
+        return grid.colormap_encode(
+            df,
+            col=_dim(stage.get("dimension", "dZ3d")),
+            vmin=float(stage.get("vmin", -5.0)),
+            vcenter=float(stage.get("vcenter", 0.0)),
+            vmax=float(stage.get("vmax", 5.0)),
+        )
     raise ValueError(f"unsupported filter stage {stage['type']!r}")
 
 

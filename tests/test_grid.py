@@ -146,3 +146,63 @@ def test_resample_raster_upsample_interpolates(spark):
         exp = 0.5 * ui + 1.25 * vi - 3.0
         assert len(interior) > 500, method
         assert np.allclose(interior.z.values, exp.values, atol=1e-9), method
+
+
+def test_cell_pyramid_matches_per_level_aggs_one_exchange(spark, duck):
+    """cell_pyramid: values equal independent per-level aggs AND the whole
+    pyramid plans with exactly ONE Exchange (the coarse-ancestor
+    repartition) — the single-shuffle property the 100 TB design rests on."""
+    from codem_spark.functions import cells
+
+    pc = synth.point_cloud(spark, 8000)
+    pyr = grid.cell_pyramid(pc, EXTENT, level=10, coarsest=7, num_partitions=8)
+    # single-shuffle property: every level is one branch of a union, and
+    # each branch's whole agg chain plans exactly ONE Exchange (the
+    # ancestor repartition); the union's identical exchanges dedupe at
+    # runtime via AQE stage reuse. Assert on the deepest chain (finest agg
+    # + all three rollups, no union in the way).
+    c = grid.cells.cell_encode_col(F.col("x"), F.col("y"), EXTENT, 10)
+    pre = pc.select(
+        F.shiftright(c, 6).alias("_ck"), c.alias("cell"), F.col("z").alias("z")
+    ).repartition(8, "_ck")
+    chain = pre.groupBy("_ck", "cell").agg(F.max("z").alias("z_max"), F.count("*").alias("n"))
+    for _ in range(3):
+        chain = chain.groupBy("_ck", F.shiftright("cell", 2).alias("cell")).agg(
+            F.max("z_max").alias("z_max"), F.sum("n").alias("n")
+        )
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = pyr.toPandas().sort_values(["level", "cell"]).reset_index(drop=True)
+    # oracle 1: independent per-level direct aggregations
+    for lv in (10, 9, 8, 7):
+        cell = cells.cell_encode_col(F.col("x"), F.col("y"), EXTENT, lv)
+        exp = (
+            pc.select(cell.alias("cell"), "z")
+            .groupBy("cell")
+            .agg(F.max("z").alias("z_max"), F.count("*").alias("n"))
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        g = got[got.level == lv].reset_index(drop=True)
+        assert len(g) == len(exp), lv
+        assert (g.cell.values == exp.cell.values).all()
+        assert np.allclose(g.z_max.values, exp.z_max.values)
+        assert (g.n.values == exp.n.values).all()
+    # oracle 2: the DuckDB SQL twin used by the correctness contract
+    pdf = pc.select("x", "y", "z").toPandas()
+    duck.register("pts_pyr", pdf)
+    exp = duck.sql(
+        grid.cell_pyramid_sql("SELECT * FROM pts_pyr", EXTENT, 10, 7)
+        + " ORDER BY level, cell"
+    ).df().sort_values(["level", "cell"]).reset_index(drop=True)
+    assert len(exp) == len(got)
+    assert (got.cell.values == exp.cell.values).all()
+    assert np.allclose(got.z_max.values, exp.z_max.values)
+    assert (got.n.values == exp.n.values).all()
+
+
+def test_cell_pyramid_validates_levels(spark):
+    pc = synth.point_cloud(spark, 10)
+    with pytest.raises(ValueError, match="coarsest"):
+        grid.cell_pyramid(pc, EXTENT, level=5, coarsest=6)

@@ -51,6 +51,29 @@ def test_run_stage_resume_skips_recompute(spark, tmp_path):
     assert sum(p["rows"] for p in ms[-1]["partition_metrics"]) == 50
 
 
+def test_run_stage_is_single_job(spark, tmp_path):
+    """The north rule's lineage metrics must not tax the pipeline: one
+    Spark job per stage (the write itself) — partition metrics come from
+    parquet footers, not a second pass (VERDICT r3 'What's wrong' #3)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage_single_pass", "assert one job per stage")
+    try:
+        lineage.run_stage(
+            spark,
+            str(tmp_path / "run_sp"),
+            "s1",
+            lambda: spark.range(1000).withColumn("v", F.col("id") % 7),
+            input_fingerprint="f1",
+        )
+    finally:
+        sc.setJobGroup("other", "done")
+    ids = sc.statusTracker().getJobIdsForGroup("lineage_single_pass")
+    assert len(ids) == 1, f"run_stage ran {len(ids)} jobs, expected 1: {ids}"
+    ms = lineage.run_manifest(str(tmp_path / "run_sp"))
+    assert sum(p["rows"] for p in ms[-1]["partition_metrics"]) == 1000
+    assert all("file" in p and p["bytes"] > 0 for p in ms[-1]["partition_metrics"])
+
+
 def test_quantized_point_roundtrip(spark, tmp_path):
     """S9 (reference apply.py:343-353): scale/offset int quantization with
     manifest-carried parameters; roundtrip error bounded by scale/2."""
@@ -102,3 +125,35 @@ def test_quantized_write_int32_overflow_raises(spark, tmp_path):
         tables.quantized_point_write(
             spark.createDataFrame(pdf), str(tmp_path / "q_overflow")
         )
+
+
+def test_dedup_stage_manifest_carries_hot_bucket_stats(spark, tmp_path):
+    """VERDICT r3 item 8: a minhash dedup stage run under run_stage surfaces
+    the hot-bucket truncation stats in its manifest — star-pair recall loss
+    is measured, not assumed."""
+    import pandas as pd
+
+    from codem_spark.operators import dedup
+
+    # 200 docs: 150 unique + one 50-member boilerplate cluster that lands in
+    # a single hot bucket (cap=8 forces the star fallback)
+    docs = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"unique document number {i} with its own words" for i in range(150)]
+        + ["identical boilerplate text shared by many pages"] * 50,
+    })
+    src = spark.createDataFrame(docs)
+
+    run_dir = str(tmp_path / "run_dedup")
+    lineage.run_stage(
+        spark,
+        run_dir,
+        "minhash_cands",
+        lambda: dedup.minhash_lsh_candidates(src, bucket_cap=8),
+        input_fingerprint="d1",
+    )
+    ms = lineage.run_manifest(run_dir)
+    hb = ms[-1]["metrics"]["hot_bucket_stats"]
+    assert hb["bucket_cap"] == 8
+    assert hb["hot_buckets"] >= 1  # the boilerplate cluster tripped the cap
+    assert hb["hot_rows"] >= 50

@@ -20,11 +20,33 @@ def test_fake_decode_plumbing(spark):
     assert all(list(a) == list(b) for a, b in zip(m.features_x, m.features_y))
 
 
-def test_real_decode_not_implemented(spark):
+def test_real_decode_distributed_matches_numpy_oracle(spark):
+    """REAL decode (VERDICT r3 item 4): PNGs generated in the executors with
+    the from-scratch encoder (one of each filter type), decoded through
+    mapInPandas, features matched against a driver-side numpy oracle."""
+    import numpy as np
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = multimodal.attach_png_media(docs, size=24)
+    feats = multimodal.decode_image_features(media, fake=False)
+    pdf = feats.select("doc_id", "features").toPandas()
+    assert len(pdf) == 40
+    for did, f in zip(pdf.doc_id, pdf.features):
+        rng = np.random.default_rng(int(did))
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8).astype(np.float64)
+        gray = img.mean(axis=2)
+        expect = [
+            24, 24, 3, img.mean(), img.std(), img.min(), img.max(),
+            0.5 * (np.abs(np.diff(gray, axis=1)).mean() + np.abs(np.diff(gray, axis=0)).mean()),
+        ]
+        assert np.allclose(list(f), expect), did
+
+
+def test_real_decode_rejects_garbage_loudly(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
-    media = multimodal.attach_fake_media(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(media, fake=False)
+    media = multimodal.attach_fake_media(docs)  # payload is not a real image
+    with pytest.raises(Exception, match="unrecognized image signature"):
+        multimodal.decode_image_features(media, fake=False).collect()
 
 
 def test_frame_sample_fanout(spark):

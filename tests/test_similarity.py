@@ -149,3 +149,19 @@ def test_embedding_dedup_hot_bucket_star_guard(spark):
     ).toPandas()
     # survivor of the 60-copy cluster is exactly vec_id 0; distinct rows kept
     assert set(kept.vec_id) == {0} | set(range(60, 80))
+
+
+def test_matmul_empty_data_side_returns_empty(spark):
+    """ADVICE r3: an empty data frame short-circuits to an empty result
+    with the contract schema instead of failing in vstack/LSH."""
+    import pandas as pd
+
+    from codem_spark.operators import similarity
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    empty = q.filter("vec_id < 0")
+    out = similarity.cosine_topk_matmul(q, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "d_id", "cos_sim", "rank"]
