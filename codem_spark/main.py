@@ -143,11 +143,16 @@ def cmd_vcd(spark: SparkSession, args: argparse.Namespace) -> dict:
     extent = (min(bb[0], ba[0]), min(bb[1], ba[1]), max(bb[2], ba[2]), max(bb[3], ba[3]))
     clustered, summaries, prods = vcd.run_vcd(before, after, extent, cfg)
     fp = f"{args.before_file}|{args.after_file}"
-    lineage.run_stage(spark, args.output_dir, "clustered", lambda: clustered, input_fingerprint=fp)
+    clus = lineage.run_stage(
+        spark, args.output_dir, "clustered", lambda: clustered, input_fingerprint=fp
+    )
     lineage.run_stage(spark, args.output_dir, "summaries", lambda: summaries, input_fingerprint=fp)
     for name, df in prods.items():
         lineage.run_stage(spark, args.output_dir, f"product_{name}",
                           lambda df=df: df, input_fingerprint=fp)
+    # final interchange export, like the reference's meshes/ dir
+    # (vcd/main.py Mesh.write): per-cluster hull multipatch shapefile
+    vcd.export_multipatch(clus, os.path.join(args.output_dir, "meshes", "clusters"))
     clustered.unpersist()
     return {"extent": list(extent)}
 

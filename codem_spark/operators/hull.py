@@ -220,3 +220,68 @@ def cluster_summaries(
         .groupBy(cluster_col)
         .applyInPandas(lambda _k, pdf: kernel(pdf), schema=schema)
     )
+
+
+def cluster_hull_meshes(
+    points: DataFrame,
+    cluster_col: str = "cluster_id",
+    dz_col: str = "dz",
+    ground_col: str | None = None,
+) -> DataFrame:
+    """The multipatch-sink face of G7/A7: one row per cluster carrying the
+    3D hull TRIANGLES (tri_x/tri_y/tri_z, 3 entries per face, outward
+    oriented) plus the attribute fields the reference records per shape
+    (volume, area, ground=classification==2, status; mesh.py:96-105).
+    Feed to ``io.shapefile.write_cluster_multipatch``. Degenerate clusters
+    (rank < 3 — no 3D hull) emit empty triangle arrays with volume 0."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf[cluster_col].iloc[0])
+        if "z" in pdf.columns:
+            xyz = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        else:
+            xyz = np.column_stack(
+                [pdf[["x", "y"]].to_numpy(np.float64), pdf[dz_col].to_numpy(np.float64)]
+            )
+        faces = convex_hull_3d(xyz)
+        volume, area = hull_volume_area(xyz, faces)
+        if faces is None or len(faces) == 0:
+            tri = np.zeros((0, 3, 3))
+        else:
+            # orient each face outward (positive det about the centroid) so
+            # the written mesh is consistently wound like trimesh's export
+            c = xyz.mean(axis=0)
+            a = xyz[faces[:, 0]] - c
+            b = xyz[faces[:, 1]] - c
+            d = xyz[faces[:, 2]] - c
+            flip = (a * np.cross(b, d)).sum(axis=1) < 0
+            faces = faces.copy()
+            faces[flip] = faces[flip][:, [0, 2, 1]]
+            tri = xyz[faces]  # (n_tri, 3, 3)
+        mean_dz = float(pdf[dz_col].mean()) if dz_col in pdf.columns else 0.0
+        ground = (
+            bool(pdf[ground_col].iloc[0]) if ground_col and ground_col in pdf.columns else False
+        )
+        return pd.DataFrame(
+            {
+                "cluster_id": [cid],
+                "n_tri": [len(tri)],
+                "volume": [volume],
+                "area": [area],
+                "ground": [ground],
+                "status": ["New" if mean_dz > 0 else "Fled"],
+                "tri_x": [tri[:, :, 0].ravel().tolist()],
+                "tri_y": [tri[:, :, 1].ravel().tolist()],
+                "tri_z": [tri[:, :, 2].ravel().tolist()],
+            }
+        )
+
+    schema = (
+        "cluster_id long, n_tri long, volume double, area double, ground boolean, "
+        "status string, tri_x array<double>, tri_y array<double>, tri_z array<double>"
+    )
+    return (
+        points.filter(F.col(cluster_col) >= 0)
+        .groupBy(cluster_col)
+        .applyInPandas(lambda _k, pdf: kernel(pdf), schema=schema)
+    )

@@ -116,6 +116,26 @@ def products(changes: DataFrame, extent: Extent, cfg: VcdConfig) -> dict[str, Da
     return out
 
 
+def export_multipatch(
+    clustered: DataFrame,
+    path: str,
+    crs_wkt: str | None = None,
+    cull_ids: tuple[int, ...] = (),
+    ground_col: str | None = None,
+) -> dict:
+    """The reference's final mesh export (vcd/main.py Mesh.write,
+    vcd/meshing/mesh.py:74-105): per-cluster 3D hull triangles as an ESRI
+    MultiPatch shapefile with the volume/area/clusterid/ground/status
+    attribute table and .prj WKT sidecar — written from scratch
+    (io/shapefile.py), one record per cluster."""
+    from codem_spark.io import shapefile as shapefile_io
+
+    meshes = hull.cluster_hull_meshes(clustered, ground_col=ground_col)
+    return shapefile_io.write_cluster_multipatch(
+        meshes, path, crs_wkt=crs_wkt, cull_ids=cull_ids
+    )
+
+
 def run_vcd(
     before: DataFrame,
     after: DataFrame,
