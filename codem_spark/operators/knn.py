@@ -94,11 +94,15 @@ def grid_topk(
     rids: np.ndarray,
     radius: float,
     k: int | None,
-    # ~24 MB for the (chunk, 3) diff temp: large fresh numpy allocations hit
-    # this sandbox's intermittent host page-fault stalls (20-60x slowdowns)
-    # and saturate memory bandwidth when 32 workers allocate them at once —
-    # small chunks keep the kernel CPU-bound so it actually scales with cores
-    pair_chunk: int = 1_000_000,
+    # Candidate generation allocates ~56 B/pair of temporaries (index
+    # arrays + the (chunk, 3) diff). 1M-pair chunks = ~56 MB of streaming
+    # temps PER worker — DRAM-bound, and this box's aggregate copy
+    # bandwidth scales only ~3.3x for 4x cores, which capped the kNN stage
+    # at 2.75x core-scaling (BENCH r4 run 1). 128k-pair chunks keep the
+    # working set ~7 MB (L2/L3-resident): with the k=1 reduceat path below,
+    # the 7.3M-pt harness stage measured 245.9 -> 105.6 s at 1 core and
+    # 89.4 -> 30.8 s at 4 (2.75x -> 3.43x core-scaling), identical output.
+    pair_chunk: int = 131_072,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 
@@ -111,7 +115,9 @@ def grid_topk(
     independent of tile size, so the tile level only tunes parallelism.
 
     Returns (left_idx, right_idx, dist, rank) with rank starting at 1;
-    k=None keeps every within-radius pair (the radius-join mode).
+    k=None keeps every within-radius pair (the radius-join mode) and
+    reports rank 0 for every pair (no ranking is computed — the radius-join
+    callers discard it).
     """
     n_l, n_r = len(lpts), len(rpts)
     if n_l == 0 or n_r == 0:
@@ -167,22 +173,57 @@ def grid_topk(
         li_w = li_rep[within]
         ri_w = ri_glob[within]
         d2_w = d2[within]
-        ord_ = np.lexsort((rids[ri_w], d2_w, li_w))
-        li_o = li_w[ord_]
-        # rank within each left group (groups are contiguous after sort)
-        newgrp = np.empty(len(li_o), dtype=bool)
-        newgrp[0] = True
-        newgrp[1:] = li_o[1:] != li_o[:-1]
-        grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(li_o)), 0))
-        rank = np.arange(len(li_o)) - grp_start + 1
-        if k is not None:
-            keep = rank <= k
+        # candidates are generated grouped by left row (li_rep repeats each
+        # left across its 9 segments consecutively; the within-filter keeps
+        # that order), so per-left segment boundaries come from one diff
+        if k is None:
+            # radius-join mode: every within-radius pair, no ranking — the
+            # callers (radius_join, IDW neighborhoods) ignore rank, so the
+            # lexsort the generic path pays is pure waste here
+            li_parts.append(li_w)
+            ri_parts.append(ri_w)
+            d_parts.append(np.sqrt(d2_w))
+            rk_parts.append(np.zeros(len(li_w), dtype=np.int64))
+        elif k == 1:
+            # nearest-neighbor mode (the flagship dZ join + ICP loop):
+            # segmented argmin by (d2, rid) via three minimum.reduceat
+            # passes — sequential streaming, no O(p log p) random-access
+            # lexsort; bit-identical selection (exact d2 equality ties
+            # break by ascending rid, as in the sort path)
+            newgrp = np.empty(len(li_w), dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = li_w[1:] != li_w[:-1]
+            starts = np.flatnonzero(newgrp)
+            lens = np.diff(starts, append=len(li_w))
+            dmin = np.minimum.reduceat(d2_w, starts)
+            is_min = d2_w == np.repeat(dmin, lens)
+            r_ids = rids[ri_w]
+            big = np.iinfo(np.int64).max
+            rmin = np.minimum.reduceat(np.where(is_min, r_ids, big), starts)
+            sel = np.where(
+                is_min & (r_ids == np.repeat(rmin, lens)),
+                np.arange(len(li_w)),
+                len(li_w),
+            )
+            pick = np.minimum.reduceat(sel, starts)
+            li_parts.append(li_w[pick])
+            ri_parts.append(ri_w[pick])
+            d_parts.append(np.sqrt(d2_w[pick]))
+            rk_parts.append(np.ones(len(pick), dtype=np.int64))
         else:
-            keep = np.ones(len(li_o), dtype=bool)
-        li_parts.append(li_o[keep])
-        ri_parts.append(ri_w[ord_][keep])
-        d_parts.append(np.sqrt(d2_w[ord_][keep]))
-        rk_parts.append(rank[keep])
+            ord_ = np.lexsort((rids[ri_w], d2_w, li_w))
+            li_o = li_w[ord_]
+            # rank within each left group (groups are contiguous after sort)
+            newgrp = np.empty(len(li_o), dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = li_o[1:] != li_o[:-1]
+            grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(li_o)), 0))
+            rank = np.arange(len(li_o)) - grp_start + 1
+            keep = rank <= k
+            li_parts.append(li_o[keep])
+            ri_parts.append(ri_w[ord_][keep])
+            d_parts.append(np.sqrt(d2_w[ord_][keep]))
+            rk_parts.append(rank[keep])
     if not li_parts:
         return _EMPTY
     return (
