@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # r4b: same workload as r4a, but the kNN kernel (k=1 reduceat path, 128k
 # pair chunks) and the banding plan (single-shuffle bucket arrays) changed —
 # cross-run minima must not mix engine versions
-WORKLOAD_VERSION = "r4b"
+WORKLOAD_VERSION = "r4c"
 
 
 def workload(cpus: int, sf_dir: str, rep: int = 24) -> dict:
