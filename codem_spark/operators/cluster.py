@@ -10,10 +10,15 @@ KD-tree; at 10^12 rows the engine instead:
    pairwise distance checks only between adjacent sub-buckets);
 2. finds cross-tile edges with the tile+halo kNN machinery (pairs within
    tolerance whose members live in different tiles);
-3. resolves global labels by iterated label propagation over the edge set
-   (min-label joins to fixpoint — O(log(diameter)) rounds, each one shuffle
-   keyed by label), the standard Spark connected-components-without-GraphX
-   pattern.
+3. contracts the graph to LABEL-level edges (one row per adjacent pair of
+   tile-local components — orders of magnitude fewer than points) and
+   resolves components on the contracted graph: exactly on the driver via
+   the vectorized hash-to-min when the edge count is small (capacity
+   switch, like the reference's brute-force->FLANN descriptor-match
+   switch), else by distributed min-label propagation with group
+   shortcutting (O(log diameter) rounds over label rows, the standard
+   Spark connected-components-without-GraphX pattern); the resulting root
+   map joins back to points in ONE pass (broadcast when driver-resolved).
 
 Labels are deterministic: a cluster's id is the minimum point id it
 contains; singleton/small clusters get id -1 (the reference's convention:
@@ -81,6 +86,7 @@ def euclidean_cluster(
     tolerance: float = 2.0,
     min_points: int = 30,
     max_rounds: int = 20,
+    driver_cc_max_edges: int = 1 << 21,
 ) -> DataFrame:
     """points(pid, x, y, z) -> (pid, cluster_id); cluster_id = min pid of the
     cluster, or -1 for clusters smaller than min_points."""
@@ -122,48 +128,101 @@ def euclidean_cluster(
         .filter(F.col("pid") < F.col("n_pid"))
         .select(F.col("pid").alias("a"), F.col("n_pid").alias("b"))
     )
-    edges = half.unionByName(
-        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
     labels = local.select("pid", "label").localCheckpoint(eager=True)
-    # Min-label propagation with group shortcutting (alternating "neighbor
-    # min" and "label-group min" — the hash-to-min CC pattern): neighbor-min
-    # alone needs O(graph diameter) rounds; the shortcut step lets an entire
-    # label group jump to the smallest label any member saw, giving
-    # O(log diameter) rounds, each a bounded shuffle keyed by pid / label.
-    prev_sum = None  # label-sum of `labels`; carried across rounds so each
-    # round costs ONE scalar agg (the old sum is last round's new sum)
-    for _ in range(max_rounds):
-        la = labels.withColumnsRenamed({"pid": "a", "label": "la"})
-        lb = labels.withColumnsRenamed({"pid": "b", "label": "lb"})
-        prop = (
-            edges.join(la, "a").join(lb, "b")
-            .select(F.col("a").alias("pid"), F.least("la", "lb").alias("nl"))
-            .groupBy("pid")
-            .agg(F.min("nl").alias("nl"))
+    # Two-level connected components: contract the point graph to LABEL
+    # edges. Each spatial cross-tile edge (a, b) becomes (label_a, label_b);
+    # distinct label pairs are orders of magnitude fewer than points (only
+    # border-band components appear at all), so the iterative part of CC
+    # runs on the contracted graph, never on the 10^12-row point set.
+    la = labels.withColumnsRenamed({"pid": "a", "label": "la"})
+    lb = labels.withColumnsRenamed({"pid": "b", "label": "lb"})
+    ledges = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Capacity switch, like the brute-force->LSH descriptor-match switch
+    # (registration/coarse.py): a contracted graph under ~2^21 edges is
+    # resolved exactly on the driver with the vectorized hash-to-min
+    # (components_np — the same routine the tile kernels run), one collect +
+    # one broadcast-joined map. Larger graphs fall through to distributed
+    # min-label propagation with group shortcutting over the contracted
+    # edges — O(log diameter) rounds, each a bounded shuffle over LABEL
+    # rows, not point rows.
+    n_ledges = ledges.count()
+    if n_ledges == 0:
+        rootmap = None
+    elif n_ledges <= driver_cc_max_edges:
+        ep = ledges.toPandas()
+        ea = ep["la"].to_numpy(np.int64)
+        eb = ep["lb"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([ea, eb]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        ii = np.array([idx[int(v)] for v in ea], dtype=np.int64)
+        jj = np.array([idx[int(v)] for v in eb], dtype=np.int64)
+        roots = components_np(len(nodes), ii, jj)
+        # component root = min LABEL in component (labels are min pids, so
+        # this is exactly the global min-pid label)
+        comp_min = np.full(len(nodes), np.iinfo(np.int64).max)
+        np.minimum.at(comp_min, roots, nodes)
+        spark = points.sparkSession
+        rootmap = spark.createDataFrame(
+            pd.DataFrame({"label": nodes, "root": comp_min[roots]})
         )
-        stepped = labels.join(prop, "pid", "left").select(
-            "pid",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("nl"),
-        )
-        lmap = stepped.groupBy("old_label").agg(F.min("nl").alias("gmin"))
-        new_labels = (
-            stepped.join(lmap, "old_label")
-            .select("pid", F.least("nl", "gmin").alias("label"))
+    else:
+        sym = ledges.unionByName(
+            ledges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+        ).localCheckpoint(eager=True)
+        rm = (
+            sym.groupBy("la").agg(F.min("lb").alias("root"))
+            .select("la", F.least("la", "root").alias("root"))
             .localCheckpoint(eager=True)
         )
-        # Convergence via a monotone scalar: min-label propagation can only
-        # decrease the label sum; fixpoint <=> sum unchanged. (A join-based
-        # old-vs-new compare would hit the shared-lineage attribute collapse
-        # — see operators/knn.py — and silently always 'converge'.)
-        if prev_sum is None:
-            prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if prev_sum == new_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = None
+        for _ in range(max_rounds):
+            ra = rm.withColumnsRenamed({"la": "a_", "root": "ra"})
+            rb = rm.withColumnsRenamed({"la": "lb", "root": "rb"})
+            prop = (
+                sym.join(ra, sym.la == ra.a_)
+                .join(rb, "lb")
+                .select(F.col("la"), F.least("ra", "rb").alias("nr"))
+                .groupBy("la")
+                .agg(F.min("nr").alias("nr"))
+            )
+            stepped = rm.join(prop, "la", "left").select(
+                "la",
+                F.col("root").alias("old_root"),
+                F.least(F.col("root"), F.coalesce("nr", F.col("root"))).alias("nr"),
+            )
+            gmap = stepped.groupBy("old_root").agg(F.min("nr").alias("gmin"))
+            new_rm = (
+                stepped.join(gmap, "old_root")
+                .select("la", F.least("nr", "gmin").alias("root"))
+                .localCheckpoint(eager=True)
+            )
+            # Convergence via a monotone scalar: roots only decrease, so
+            # fixpoint <=> root-sum unchanged. (A join-based old-vs-new
+            # compare would hit the shared-lineage attribute collapse — see
+            # operators/knn.py — and silently always 'converge'.)
+            if prev_sum is None:
+                prev_sum = rm.agg(F.sum("root")).collect()[0][0]
+            new_sum = new_rm.agg(F.sum("root")).collect()[0][0]
+            rm = new_rm
+            if prev_sum == new_sum:
+                break
+            prev_sum = new_sum
+        rootmap = rm.withColumnsRenamed({"la": "label"})
+    if rootmap is not None:
+        # the driver-path map is tiny -> broadcast join; the distributed
+        # fallback map may exceed broadcast limits -> shuffle join on label
+        if n_ledges <= driver_cc_max_edges:
+            rootmap = F.broadcast(rootmap)
+        labels = labels.join(rootmap, "label", "left").select(
+            "pid", F.coalesce("root", "label").alias("label")
+        )
     # size filter: clusters below min_points -> -1 (reference culls them)
     sized = labels.groupBy("label").agg(F.count("*").alias("n"))
     return (

@@ -48,7 +48,17 @@ def resample_to_points(
     """Interpolate ``value_cols`` of ``samples(x, y, ...)`` at
     ``queries(qid, x, y)`` locations. Returns (qid, x, y, <value_cols>...),
     NODATA where no sample lies within ``radius``."""
-    level = knn.auto_level(extent, radius, queries.count())
+    # Tile level sized from the LARGER side: the per-tile kernel cost is
+    # driven by whichever side dominates (Delaunay is superlinear in the
+    # tile's sample count; IDW pair volume is queries x samples). Sizing
+    # from the query side alone put an 18.7k-sample TIN into 4 tiles of
+    # ~15k-point serial triangulations (8.3 s); the parallelism floor +
+    # sample-count bound gives 64 tiles of ~1k-point triangulations. Any
+    # level <= the radius rule is correct (auto_level enforces it).
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    level = knn.auto_level(
+        extent, radius, max(queries.count(), samples.count()), parallelism=par
+    )
     q = cells.with_cell(queries.select(qid, "x", "y"), "x", "y", extent, level).drop("_ix", "_iy")
     s = cells.with_cell(samples.select("x", "y", *value_cols), "x", "y", extent, level)
     # fresh aliases on the sample side: shared lineage with `queries` would

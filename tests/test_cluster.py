@@ -92,3 +92,46 @@ def test_cross_tile_chain_still_connects(spark):
         .sort_values("pid")
     )
     assert (got.cluster_id == 0).all()
+
+
+def test_distributed_label_cc_fallback_matches_driver_path(spark, blob_points):
+    """driver_cc_max_edges=0 forces the distributed min-label loop over the
+    contracted label graph; labels must be identical to the driver-resolved
+    capacity path (deterministic min-pid labels either way)."""
+    df = spark.createDataFrame(blob_points)
+    a = (
+        cluster.euclidean_cluster(df, SMALL_EXTENT, tolerance=8.0, min_points=5)
+        .toPandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    b = (
+        cluster.euclidean_cluster(
+            df, SMALL_EXTENT, tolerance=8.0, min_points=5, driver_cc_max_edges=0
+        )
+        .toPandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert (a.pid == b.pid).all() and (a.cluster_id == b.cluster_id).all()
+    assert (a.cluster_id >= 0).sum() > 0
+
+
+def test_cross_tile_chain_distributed_fallback(spark):
+    """The border-crossing chain through the distributed label-CC loop."""
+    import pandas as pd
+    from codem_spark.functions import cells
+
+    level_size = cells.cell_size(SMALL_EXTENT, 4)
+    xb = 3 * level_size
+    xs = np.arange(xb - 10, xb + 10, 1.0)
+    pdf = pd.DataFrame({"pid": np.arange(len(xs)), "x": xs, "y": np.full(len(xs), 40.0), "z": 0.0})
+    got = (
+        cluster.euclidean_cluster(
+            spark.createDataFrame(pdf), SMALL_EXTENT, tolerance=1.5, min_points=2,
+            driver_cc_max_edges=0,
+        )
+        .toPandas()
+        .sort_values("pid")
+    )
+    assert (got.cluster_id == 0).all()
