@@ -37,6 +37,22 @@ class EngineConfig:
     icp_rmse_threshold: float = 0.0001
     icp_robust: bool = True
     icp_solve_scale: bool = True
+    # Run fine ICP on the raw full-density clouds instead of the pipeline-
+    # resolution DSM-derived clouds. The reference ALWAYS registers the
+    # infilled-DSM-derived cloud (_dsm2pc, preprocess.py:285-315; "higher
+    # density data is resampled to match the lower", docs/details.md:12) —
+    # the early downsample that bounds every ICP iteration's row count. The
+    # default here matches the reference; full density is an engine extra
+    # for callers who want sub-resolution refinement on exact point subsets.
+    icp_full_density: bool = False
+    icp_save_residuals: bool = False
+    # Clip both inputs to a bounded overlap window before registration
+    # (reference TIGHT_SEARCH, main.py:366-373). The reference defaults this
+    # OFF; the engine defaults it ON — at 10^12 rows the clip is the
+    # partition-pruning step that makes the pipeline feasible, and on
+    # overlapping scenes it is a no-op for correctness (deliberate
+    # divergence, documented in COVERAGE.md).
+    tight_search: bool = True
     # --- output quantization (reference: main.py:150-163) ---
     offset_x: str | int = "auto"
     offset_y: str | int = "auto"
@@ -125,6 +141,7 @@ class RegistrationParameters:
     trans_z: float = 0.0
     scale: float = 1.0
     n_pairs: int = 0
+    iterations: int = 0  # ICP iterations actually run (observability)
     rmse_x: float = 0.0
     rmse_y: float = 0.0
     rmse_z: float = 0.0

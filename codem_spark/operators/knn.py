@@ -308,9 +308,40 @@ def _topk_kernel_builder(
     return kernel
 
 
+def tile_right(
+    right: DataFrame,
+    extent: Extent,
+    radius: float,
+    level: int,
+    dims: tuple[str, ...] = ("x", "y", "z"),
+    rid: str = "pid",
+    r_carry: tuple[str, ...] = (),
+    ring: int = 1,
+) -> DataFrame:
+    """Pre-tile the data side of :func:`knn_join` — with_cell + halo
+    explosion + the ``_r_`` column aliasing — for reuse across REPEATED
+    joins against the same fixed frame (the ICP loop joins the moving cloud
+    against one fixed cloud up to 100 times; re-tiling + re-shuffling the
+    fixed side per iteration was the dominant per-iteration cost).
+
+    The caller should ``.repartition('cell_id').persist()`` the result: the
+    cached hash partitioning satisfies the cogroup's clustered-distribution
+    requirement, so each subsequent ``knn_join(..., right_tiled=...)``
+    exchanges ONLY the left side (asserted in tests/test_plans.py)."""
+    rc = cells.with_cell(right, "x", "y", extent, level)
+    rh = cells.explode_halo(
+        rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
+    ).drop("_ix", "_iy", "cell_id")
+    r_cols = [rid, *dims, *[c for c in r_carry if c not in dims and c != rid]]
+    return rh.select(
+        F.col("halo_cell").alias("cell_id"),
+        *[F.col(c).alias(f"_r_{c}") for c in dict.fromkeys(r_cols)],
+    )
+
+
 def knn_join(
     left: DataFrame,
-    right: DataFrame,
+    right: DataFrame | None,
     extent: Extent,
     radius: float,
     k: int = 1,
@@ -322,6 +353,7 @@ def knn_join(
     ring: int = 1,
     level: int | None = None,
     n_left: int | None = None,
+    right_tiled: DataFrame | None = None,
 ) -> DataFrame:
     """Radius-bounded k-nearest-neighbor join (left row -> up to k nearest
     right rows within ``radius`` in ``dims``-space; xy drives tiling).
@@ -331,6 +363,10 @@ def knn_join(
     ``level=None`` sizes tiles from the left-side row count, which costs a
     count() job — loop callers should pass ``level`` (the ICP loop does) or
     the ``n_left`` hint when the count is already known.
+
+    ``right_tiled``: a pre-tiled data side from :func:`tile_right` (built at
+    the SAME level/radius/ring); ``right`` is then ignored. Loop callers
+    cache it once so only the left side shuffles per join.
     """
     if level is None:
         par = left.sparkSession.sparkContext.defaultParallelism
@@ -338,21 +374,31 @@ def knn_join(
             n_left = left.count()
         level = auto_level(extent, radius / max(ring, 1), n_left, parallelism=par)
     lc = cells.with_cell(left, "x", "y", extent, level).drop("_ix", "_iy")
-    rc = cells.with_cell(right, "x", "y", extent, level)
-    rh = cells.explode_halo(
-        rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
-    ).drop("_ix", "_iy", "cell_id")
+    if right_tiled is not None:
+        rsel = right_tiled
+        rf = {
+            f.name[3:]: f.dataType.simpleString()
+            for f in right_tiled.schema.fields
+            if f.name.startswith("_r_")
+        }
+    else:
+        rc = cells.with_cell(right, "x", "y", extent, level)
+        rh = cells.explode_halo(
+            rc, level, ring=ring, out="halo_cell", extent=extent, radius=radius
+        ).drop("_ix", "_iy", "cell_id")
+        r_cols = [rid, *dims, *[c for c in r_carry if c not in dims and c != rid]]
+        # Alias right-side columns to fresh names: a self-join (left is
+        # right, or shares lineage) otherwise resolves both cogroup children
+        # to the SAME attribute ids and Catalyst prunes the right side down
+        # to the key.
+        rsel = rh.select(
+            F.col("halo_cell").alias("cell_id"),
+            *[F.col(c).alias(f"_r_{c}") for c in dict.fromkeys(r_cols)],
+        )
+        rf = {f.name: f.dataType.simpleString() for f in right.schema.fields}
 
     l_cols = [lid, *dims, *[c for c in l_carry if c not in dims and c != lid]]
-    r_cols = [rid, *dims, *[c for c in r_carry if c not in dims and c != rid]]
     lsel = lc.select("cell_id", *dict.fromkeys(l_cols))
-    # Alias right-side columns to fresh names: a self-join (left is right, or
-    # shares lineage) otherwise resolves both cogroup children to the SAME
-    # attribute ids and Catalyst prunes the right side down to the key.
-    rsel = rh.select(
-        F.col("halo_cell").alias("cell_id"),
-        *[F.col(c).alias(f"_r_{c}") for c in dict.fromkeys(r_cols)],
-    )
 
     kernel = _topk_kernel_builder(k, radius, dims, lid, rid, list(l_carry), list(r_carry))
 
@@ -362,7 +408,6 @@ def knn_join(
 
     # Build the output schema explicitly from the input schemas.
     lf = {f.name: f.dataType.simpleString() for f in left.schema.fields}
-    rf = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     parts = [f"{lid} {lf[lid]}", f"n_{rid} {rf[rid]}", "nn_dist double", "nn_rank int"]
     parts += [f"l_{c} {lf[c]}" for c in l_carry]
     parts += [f"r_{c} {rf[c]}" for c in r_carry]

@@ -10,9 +10,11 @@ conditioning (icp.py:116-119), convergence on relative dRMSE < 1e-4 or
 (icp.py:173-185, main.py:70-73).
 
 Engine design (the north-star op): the fixed cloud is tiled once per run
-(cell + 1-ring halo duplication, radius = the kNN bound) and *cached*; each
-iteration is one Spark job: transform moving points (pure column exprs of
-the current 4x4), cogroup with the cached fixed tiles, and a vectorized
+(cell + 1-ring halo duplication via knn.tile_right, radius = the kNN bound),
+hash-partitioned by cell and *cached*, so each iteration exchanges only the
+moving side; each iteration is one Spark job: transform moving points (pure
+column exprs of the current 4x4), cogroup with the cached fixed tiles, and
+a vectorized
 kernel emits ONE partial row per tile: the flattened upper triangle of
 A^T W A (7x7 -> 28), A^T W b (7), sum w*r^2, sum r^2, n. Partials are
 ``treeReduce``d (numpy add) to the driver, which solves the 7x7 system,
@@ -228,6 +230,7 @@ def fine_registration(
         fixed_normals = compute_normals(fixed, extent, radius=4.0 * resolution)
     fixed_n = fixed_normals.persist()
     fixed_n.count()
+    r_carry = ("x", "y", "z", "nx", "ny", "nz")
 
     # mean-centering offset for conditioning (reference icp.py:116-119)
     mu_row = fixed.agg(
@@ -249,8 +252,22 @@ def fine_registration(
         c_extent, radius, n_moving,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+    # Tile + halo-explode the fixed side ONCE, hash-partitioned by cell and
+    # cached: the fixed cloud and the level never change across iterations,
+    # so each iteration's cogroup re-uses the cached partitioning and
+    # exchanges ONLY the moving side (asserted in tests/test_plans.py). The
+    # per-iteration fixed-side reshuffle this replaces was the dominant loop
+    # cost at the 1M-point bench scale.
+    fixed_tiled = (
+        knn.tile_right(fixed_c, c_extent, radius, join_level, rid="pid", r_carry=r_carry)
+        .repartition(F.col("cell_id"))
+        .persist()
+    )
+    fixed_tiled.count()
+    fixed_n.unpersist(False)
 
     alpha, tau = 2.0, 0.6  # reference icp.py:128-130
+    n_iters = 0
     beta = resolution / 2.0 + 0.5
     prev_rmse = None
     prev_angles = None
@@ -260,19 +277,21 @@ def fine_registration(
     t_c = demean @ t_total @ remean  # work in centered frame
 
     for it in range(cfg.icp_max_iter):
+        n_iters = it + 1
         # transform ORIGINAL moving points into the centered current pose
         cur = apply_transform_cols(moving_base, t_c @ demean)
         corr = knn.knn_join(
             cur,
-            fixed_c,
+            None,
             c_extent,
             radius=radius,
             k=1,
             lid="pid",
             rid="pid",
             l_carry=("x", "y", "z"),
-            r_carry=("x", "y", "z", "nx", "ny", "nz"),
+            r_carry=r_carry,
             level=join_level,
+            right_tiled=fixed_tiled,
         ).select(
             F.col("l_x").alias("mx"), F.col("l_y").alias("my"), F.col("l_z").alias("mz"),
             F.col("r_x").alias("fx"), F.col("r_y").alias("fy"), F.col("r_z").alias("fz"),
@@ -318,9 +337,9 @@ def fine_registration(
     # final residual stats per axis: one more correspondence pass
     cur = apply_transform_cols(moving_base, t_c @ demean)
     corr = knn.knn_join(
-        cur, fixed_c, c_extent, radius=radius, k=1,
+        cur, None, c_extent, radius=radius, k=1,
         lid="pid", rid="pid", l_carry=("x", "y", "z"), r_carry=("x", "y", "z"),
-        level=join_level,
+        level=join_level, right_tiled=fixed_tiled,
     )
     stats = corr.agg(
         F.sqrt(F.avg(F.pow(F.col("l_x") - F.col("r_x"), 2))).alias("rx"),
@@ -336,7 +355,7 @@ def fine_registration(
         F.count("*").alias("n"),
     ).collect()[0]
 
-    fixed_n.unpersist()
+    fixed_tiled.unpersist()
     moving_base.unpersist()
 
     t_final = remean @ t_c @ demean  # back to world frame
@@ -347,6 +366,7 @@ def fine_registration(
         trans_x=dec["trans_x"], trans_y=dec["trans_y"], trans_z=dec["trans_z"],
         scale=dec["scale"],
         n_pairs=int(stats["n"]),
+        iterations=n_iters,
         rmse_x=float(stats["rx"]), rmse_y=float(stats["ry"]),
         rmse_z=float(stats["rz"]), rmse_3d=float(stats["r3"]),
     )
