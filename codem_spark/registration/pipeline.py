@@ -110,12 +110,21 @@ def preprocess(
     if extent is None:
         bf = grid.bounds(fnd_points)
         ba = grid.bounds(aoi_points)
-        joint = grid.bbox_overlap(bf, ba, factor=1.5)
-        # clip both to the 1.5x overlap window (reference clip_data
-        # preprocess.py:858-933 / TIGHT_SEARCH) — partition pruning at scale
-        fnd_points = grid.clip_bbox(fnd_points, joint)
-        aoi_points = grid.clip_bbox(aoi_points, joint)
-        extent = joint
+        if cfg.tight_search:
+            joint = grid.bbox_overlap(bf, ba, factor=1.5)
+            # clip both to the 1.5x overlap window (reference clip_data
+            # preprocess.py:858-933 / TIGHT_SEARCH) — partition pruning at
+            # scale. Engine default ON (reference defaults OFF,
+            # main.py:366-373) — documented divergence, see COVERAGE.md.
+            fnd_points = grid.clip_bbox(fnd_points, joint)
+            aoi_points = grid.clip_bbox(aoi_points, joint)
+            extent = joint
+        else:
+            # full-extent mode: union bbox, no clip (the reference default)
+            extent = (
+                min(bf[0], ba[0]), min(bf[1], ba[1]),
+                max(bf[2], ba[2]), max(bf[3], ba[3]),
+            )
     if resolution is None:
         resolution = estimate_pipeline_resolution(fnd_points, aoi_points, extent, cfg)
     resolution = max(resolution, cfg.min_resolution)
@@ -161,11 +170,24 @@ def fine_registration_stage(
             "x", "y", "z",
         )
 
-    fnd = _with_pid(prep.fnd_points)
-    aoi = _with_pid(prep.aoi_points)
+    if cfg.icp_full_density:
+        fnd = _with_pid(prep.fnd_points)
+        aoi = _with_pid(prep.aoi_points)
+    else:
+        # The reference's early downsample (_dsm2pc, preprocess.py:285-315):
+        # fine ICP registers the infilled-DSM-derived clouds — "higher
+        # density data is resampled to match the lower" (docs/details.md:12).
+        # Row count per iteration is bounded by the CELL count, not the raw
+        # point count: the one optimization that keeps the <=100-iteration
+        # loop affordable at 100x scale (SURVEY §4 must-recreate).
+        fnd = _with_pid(grid.dsm_to_points(prep.fnd_dsm, prep.extent, prep.resolution))
+        aoi = _with_pid(grid.dsm_to_points(prep.aoi_dsm, prep.extent, prep.resolution))
     # kNN bound from the coarse RMSE, exactly as the reference bounds the
-    # ICP search (icp.py:75,133-135)
-    bound = max(coarse_params.rmse_3d, prep.resolution)
+    # ICP search (icp.py:75,133-135); the DSM-derived clouds sample at cell
+    # pitch, so the bound floors at 2 cells there (a 1-cell bound can strand
+    # grid points mid-cell after a good coarse solve)
+    res_floor = prep.resolution if cfg.icp_full_density else 2.0 * prep.resolution
+    bound = max(coarse_params.rmse_3d, res_floor)
     return icp_mod.fine_registration(
         fnd, aoi, prep.extent, prep.resolution, cfg, initial=initial, knn_radius=bound
     )

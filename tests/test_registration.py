@@ -151,10 +151,14 @@ def test_coarse_recovers_inverse(spark, clouds, foundation_sources, foundation_k
 
 
 def test_fine_refines_to_subresolution(spark, clouds):
+    # full-density mode: AOI points are EXACT foundation subsets, so ICP can
+    # snap near-exactly — the engine-extra exactness pin. The default
+    # DSM-derived path (the reference's _dsm2pc early downsample) is pinned
+    # separately in test_fine_dsm_path_recovers_transform.
     fnd, aoi0 = clouds
     M = CASES["rot90_translate"]
     aoi = _perturb(aoi0, M)
-    cfg = EngineConfig(min_resolution=RES, icp_max_iter=15)
+    cfg = EngineConfig(min_resolution=RES, icp_max_iter=15, icp_full_density=True)
     prep = P.preprocess(
         spark.createDataFrame(fnd), spark.createDataFrame(aoi), extent=EXT, cfg=cfg, resolution=RES
     )
@@ -173,6 +177,39 @@ def test_fine_refines_to_subresolution(spark, clouds):
         assert abs(d[t]) < 0.5
     # parity fields present (reference registration.txt, dsm.py:434-466)
     assert f.n_pairs > 1000
+
+
+def test_fine_dsm_path_recovers_transform(spark, clouds):
+    """DEFAULT fine path (the reference's _dsm2pc early downsample,
+    preprocess.py:285-315): ICP runs on the pipeline-resolution DSM-derived
+    clouds, so per-iteration row count is bounded by CELL count. Recovery
+    envelope mirrors the reference's demo numbers (fine 3D RMSE ~0.6 m at
+    1 m res, docs/details.md:119-123) scaled to this scene's resolution."""
+    fnd, aoi0 = clouds
+    M = CASES["rot90_translate"]
+    aoi = _perturb(aoi0, M)
+    cfg = EngineConfig(min_resolution=RES, icp_max_iter=15)
+    assert not cfg.icp_full_density  # DSM path IS the default
+    prep = P.preprocess(
+        spark.createDataFrame(fnd), spark.createDataFrame(aoi), extent=EXT, cfg=cfg, resolution=RES
+    )
+    c = P.coarse_registration(prep, cfg)
+    f = P.fine_registration_stage(prep, c, cfg)
+    prep.fnd_dsm.unpersist()
+    prep.aoi_dsm.unpersist()
+    resid = np.array(f.matrix) @ M
+    d = decompose_similarity(resid)
+    assert abs(d["scale"] - 1.0) < 0.01
+    for a in ("omega", "phi", "kappa"):
+        assert abs(d[a]) < 0.5, f"{a}={d[a]}"
+    # sub-cell translation recovery on grid-sampled clouds
+    for t in ("trans_x", "trans_y", "trans_z"):
+        assert abs(d[t]) < 0.5 * RES, f"{t}={d[t]}"
+    # residual RMSE is DSM-sampling-bounded, not exact-subset-bounded
+    assert f.rmse_3d < RES
+    # DSM pair count ~ cell count, far below the 360k raw AOI rows — the
+    # early-downsample contract this test exists to pin
+    assert 1000 < f.n_pairs < 60_000
 
 
 def test_apply_registration_roundtrip(spark, clouds):
@@ -213,11 +250,13 @@ def test_register_feet_aoi_recovers_in_native_units(spark, clouds):
     native = np.array(f.matrix_native)
     A = np.column_stack([aoi_ft.x, aoi_ft.y, aoi_ft.z, np.ones(len(aoi_ft))]) @ native.T
     err = np.sqrt(((A[:, :3] - aoi0[["x", "y", "z"]].values) ** 2).sum(1))
-    assert np.median(err) < 0.5  # sub-resolution in meters
+    # sub-resolution in meters (0.2*RES = 0.8 m): this test pins the F3 unit
+    # plumbing, not ICP precision — the default DSM-path fine lands ~0.13*RES
+    assert np.median(err) < 0.2 * RES
     # and the returned DataFrame is already in foundation units
     got = out.toPandas().sort_values("pid").reset_index(drop=True)
     exp = aoi0.sort_values("pid").reset_index(drop=True)
-    assert np.median(np.abs(got.x.values - exp.x.values)) < 0.5
+    assert np.median(np.abs(got.x.values - exp.x.values)) < 0.2 * RES
 
 
 def test_area_point_transforms_differ_by_half_pixel(spark, clouds):
@@ -240,6 +279,10 @@ def test_area_point_transforms_differ_by_half_pixel(spark, clouds):
         pts = grid.dsm_to_points(raster, EXT, RES, tag).withColumn(
             "pid", F.xxhash64("x", "y", "z")
         )
+        # full density: the half-pixel tagging distinction lives in the raw
+        # point coordinates; the DSM-path fine stage re-rasterizes (both
+        # taggings bin to the identical DSM) and would erase it by design
+        cfg = EngineConfig(min_resolution=RES, icp_max_iter=10, icp_full_density=True)
         prep = P.preprocess(
             spark.createDataFrame(fnd), pts, extent=EXT, cfg=cfg, resolution=RES
         )
