@@ -94,7 +94,8 @@ def euclidean_cluster(
     # an expensive upstream (e.g. a kNN-dZ output) is not recomputed
     points = points.select("pid", "x", "y", "z").persist()
     par = points.sparkSession.sparkContext.defaultParallelism
-    level = knn.auto_level(extent, tolerance, points.count(), parallelism=par)
+    n_points = points.count()
+    level = knn.auto_level(extent, tolerance, n_points, parallelism=par)
     tiled = cells.with_cell(points.select("pid", "x", "y", "z"), "x", "y", extent, level)
     local = (
         tiled.drop("_ix", "_iy")
@@ -142,21 +143,23 @@ def euclidean_cluster(
         .filter(F.col("la") != F.col("lb"))
         .select("la", "lb")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Capacity switch, like the brute-force->LSH descriptor-match switch
     # (registration/coarse.py): a contracted graph under ~2^21 edges is
     # resolved exactly on the driver with the vectorized hash-to-min
-    # (components_np — the same routine the tile kernels run), one collect +
-    # one broadcast-joined map. Larger graphs fall through to distributed
+    # (components_np — the same routine the tile kernels run). The
+    # limit(cap+1) PROBE (same pattern as similarity.py's matmul top-k) is
+    # the only materialization of the edge frame on the common path: <= cap
+    # rows back means the probe IS the complete edge set — no separate
+    # checkpoint + count jobs. Larger graphs fall through to distributed
     # min-label propagation with group shortcutting over the contracted
     # edges — O(log diameter) rounds, each a bounded shuffle over LABEL
     # rows, not point rows.
-    n_ledges = ledges.count()
-    if n_ledges == 0:
+    ep = ledges.limit(driver_cc_max_edges + 1).toPandas()
+    driver_path = len(ep) <= driver_cc_max_edges
+    if len(ep) == 0:
         rootmap = None
-    elif n_ledges <= driver_cc_max_edges:
-        ep = ledges.toPandas()
+    elif driver_path:
         ea = ep["la"].to_numpy(np.int64)
         eb = ep["lb"].to_numpy(np.int64)
         nodes = np.unique(np.concatenate([ea, eb]))
@@ -173,9 +176,11 @@ def euclidean_cluster(
             pd.DataFrame({"label": nodes, "root": comp_min[roots]})
         )
     else:
-        sym = ledges.unionByName(
-            ledges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
-        ).localCheckpoint(eager=True)
+        sym = (
+            ledges.unionByName(
+                ledges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+            ).localCheckpoint(eager=True)
+        )
         rm = (
             sym.groupBy("la").agg(F.min("lb").alias("root"))
             .select("la", F.least("la", "root").alias("root"))
@@ -215,20 +220,35 @@ def euclidean_cluster(
                 break
             prev_sum = new_sum
         rootmap = rm.withColumnsRenamed({"la": "label"})
-    if rootmap is not None:
-        # the driver-path map is tiny -> broadcast join; the distributed
-        # fallback map may exceed broadcast limits -> shuffle join on label
-        if n_ledges <= driver_cc_max_edges:
+    # Size filter folded into a LABEL-level map (VERDICT r4 item 4): per-
+    # tile-local-label counts come from ONE map-side-combinable groupBy over
+    # the checkpointed point labels; root resolution and the min_points cull
+    # then run entirely on label rows, and the points table is touched by a
+    # single final join against the (label -> cluster_id) map. The old plan
+    # resolved roots point-level first and then did a second point-level
+    # groupBy + join for sizes.
+    lsize = labels.groupBy("label").agg(F.count("*").alias("n"))
+    if rootmap is None:
+        labmap = lsize.select("label", F.col("label").alias("root"), "n")
+    else:
+        if driver_path:
             rootmap = F.broadcast(rootmap)
-        labels = labels.join(rootmap, "label", "left").select(
-            "pid", F.coalesce("root", "label").alias("label")
+        labmap = lsize.join(rootmap, "label", "left").select(
+            "label", F.coalesce("root", "label").alias("root"), "n"
         )
-    # size filter: clusters below min_points -> -1 (reference culls them)
-    sized = labels.groupBy("label").agg(F.count("*").alias("n"))
-    return (
-        labels.join(sized, "label")
-        .select(
-            "pid",
-            F.when(F.col("n") >= min_points, F.col("label")).otherwise(F.lit(-1)).alias("cluster_id"),
-        )
+    rsize = labmap.groupBy("root").agg(F.sum("n").alias("tot"))
+    final_map = labmap.join(rsize, "root").select(
+        "label",
+        F.when(F.col("tot") >= min_points, F.col("root"))
+        .otherwise(F.lit(-1))
+        .alias("cluster_id"),
     )
+    # capacity switch for the one point-level join: the label map is bounded
+    # by the point count, so at bench scale it broadcasts (shuffle-free over
+    # points); at cluster scale (sparse data can make every isolated point
+    # its own label) it falls back to a shuffle join on label
+    if n_points <= 5_000_000:
+        final_map = F.broadcast(final_map)
+    out = labels.join(final_map, "label").select("pid", "cluster_id")
+    points.unpersist(False)
+    return out
