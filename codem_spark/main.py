@@ -25,7 +25,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _bool_arg(s: str) -> bool:
+    return s.lower() != "false"
+
+
+def _csv_ints(s: str) -> tuple[int, ...]:
+    return tuple(int(v) for v in s.split(",") if v.strip() != "")
+
+
 def _add_register_args(p: argparse.ArgumentParser) -> None:
+    """The reference `codem` argparse contract (src/codem/main.py:182-396),
+    minus presentation-only options (--log-type, --websocket-url, progress
+    UI selection)."""
     p.add_argument("foundation_file")
     p.add_argument("aoi_file")
     p.add_argument("--output-dir", required=True)
@@ -34,24 +45,65 @@ def _add_register_args(p: argparse.ArgumentParser) -> None:
                    help="pipeline resolution override (meters); default: estimated")
     p.add_argument("--fnd-units", default="m")
     p.add_argument("--aoi-units", default="m")
+    p.add_argument("--dsm-akaze-threshold", type=float, default=0.0001)
     p.add_argument("--dsm-lowes-ratio", type=float, default=0.9)
+    p.add_argument("--dsm-ransac-max-iter", type=int, default=10000)
     p.add_argument("--dsm-ransac-threshold", type=float, default=10.0)
     p.add_argument("--dsm-strong-filter", type=float, default=10.0)
     p.add_argument("--dsm-weak-filter", type=float, default=1.0)
-    p.add_argument("--dsm-solve-scale", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--dsm-solve-scale", type=_bool_arg, default=True)
+    p.add_argument("--icp-angle-threshold", type=float, default=0.001)
+    p.add_argument("--icp-distance-threshold", type=float, default=0.001)
     p.add_argument("--icp-max-iter", type=int, default=100)
-    p.add_argument("--icp-solve-scale", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--icp-rmse-threshold", type=float, default=0.0001)
+    p.add_argument("--icp-robust", type=_bool_arg, default=True)
+    p.add_argument("--icp-solve-scale", type=_bool_arg, default=True)
+    p.add_argument("--icp-save-residuals", action="store_true",
+                   help="append per-point residual columns to the registered table "
+                        "(reference --ICP_SAVE_RESIDUALS, main.py:318-323)")
+    # LAS-style output quantization (reference --OFFSET_*/--SCALE_*,
+    # main.py:150-163): any non-auto value adds a quantized int32 copy of
+    # the registered table (io/tables.quantized_point_write)
+    for ax in ("x", "y", "z"):
+        p.add_argument(f"--offset-{ax}", default="auto",
+                       type=lambda s: s if s == "auto" else int(s))
+        p.add_argument(f"--scale-{ax}", default="auto",
+                       type=lambda s: s if s == "auto" else float(s))
+    # reference --TIGHT_SEARCH defaults OFF (main.py:366-373); the engine
+    # defaults ON (partition pruning at scale — documented divergence)
+    p.add_argument("--tight-search", type=_bool_arg, default=True)
+    # engine extra: opt out of the reference's _dsm2pc early downsample and
+    # run fine ICP on the raw full-density clouds
+    p.add_argument("--icp-full-density", action="store_true")
 
 
 def _add_vcd_args(p: argparse.ArgumentParser) -> None:
+    """The reference `vcd` argparse contract (src/vcd/main.py:75-160), minus
+    presentation-only options."""
     p.add_argument("before_file")
     p.add_argument("after_file")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--ground-height", type=float, default=1.0)
-    p.add_argument("--tolerance", type=float, default=2.0)
+    p.add_argument("--tolerance", "--cluster-tolerance", dest="tolerance",
+                   type=float, default=2.0)
     p.add_argument("--min-points", type=int, default=30)
     p.add_argument("--resolution", type=float, default=1.0)
     p.add_argument("--knn-radius", type=float, default=50.0)
+    p.add_argument("--cull-cluster-ids", type=_csv_ints, default=(-1,),
+                   help="comma-separated cluster ids dropped from products/meshes "
+                        "(reference default '-1,0'; engine labels reserve only -1)")
+    p.add_argument("--class-labels", type=_csv_ints, default=(2, 6),
+                   help="classification labels kept before clustering "
+                        "(applies only when the input has a classification column)")
+    p.add_argument("--trust-labels", action="store_true",
+                   help="trust existing classifications: skip the noise/water drops")
+    p.add_argument("--compute-hag", action="store_true",
+                   help="dZ = TIN height-above-ground (before=ground) instead of "
+                        "nearest-3D-point dZ")
+    p.add_argument("--colormap", default="bwr",
+                   help="recorded in config; the engine ships its built-in "
+                        "diverging blue-white-red ramp")
+    p.add_argument("--spacing-override", type=float, default=None)
 
 
 def _read_points(spark: SparkSession, path: str):
@@ -82,13 +134,24 @@ def cmd_register(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     cfg = EngineConfig(
         min_resolution=args.min_resolution,
+        dsm_akaze_threshold=args.dsm_akaze_threshold,
         dsm_lowes_ratio=args.dsm_lowes_ratio,
+        dsm_ransac_max_iter=args.dsm_ransac_max_iter,
         dsm_ransac_threshold=args.dsm_ransac_threshold,
         dsm_strong_filter=args.dsm_strong_filter,
         dsm_weak_filter=args.dsm_weak_filter,
         dsm_solve_scale=args.dsm_solve_scale,
+        icp_angle_threshold=args.icp_angle_threshold,
+        icp_distance_threshold=args.icp_distance_threshold,
         icp_max_iter=args.icp_max_iter,
+        icp_rmse_threshold=args.icp_rmse_threshold,
+        icp_robust=args.icp_robust,
         icp_solve_scale=args.icp_solve_scale,
+        icp_save_residuals=args.icp_save_residuals,
+        icp_full_density=args.icp_full_density,
+        tight_search=args.tight_search,
+        offset_x=args.offset_x, offset_y=args.offset_y, offset_z=args.offset_z,
+        scale_x=args.scale_x, scale_y=args.scale_y, scale_z=args.scale_z,
         output_dir=args.output_dir,
     )
     os.makedirs(args.output_dir, exist_ok=True)
@@ -108,6 +171,21 @@ def cmd_register(spark: SparkSession, args: argparse.Namespace) -> dict:
         fnd, aoi, cfg=cfg, resolution=args.resolution,
         fnd_units=args.fnd_units, aoi_units=args.aoi_units,
     )
+    if cfg.icp_save_residuals:
+        # reference --ICP_SAVE_RESIDUALS (apply.py:375-391): append
+        # ResidualX/Y/Z/Horiz/3D columns = registered point minus nearest
+        # foundation point, in foundation native units
+        from codem_spark.functions import crs
+        from codem_spark.operators import grid
+
+        bf = grid.bounds(fnd)
+        bo = grid.bounds(out)
+        ext = (min(bf[0], bo[0]), min(bf[1], bo[1]), max(bf[2], bo[2]), max(bf[3], bo[3]))
+        ff = crs.units_factor(args.fnd_units)
+        radius = max(
+            2.0 * (args.resolution or args.min_resolution), 4.0 * f.rmse_3d
+        ) / ff  # rmse/resolution are meters; the output table is fnd-native
+        out = P.with_residuals(out, fnd, ext, radius)
     # registration.json: the reference's registration.txt field set
     # (dsm.py:434-466) for both stages
     rec = {"coarse": c.to_dict(), "fine": f.to_dict(),
@@ -119,6 +197,18 @@ def cmd_register(spark: SparkSession, args: argparse.Namespace) -> dict:
         input_fingerprint=fp,
         metrics={"rmse_3d": f.rmse_3d, "n_pairs": f.n_pairs},
     )
+    offsets = (cfg.offset_x, cfg.offset_y, cfg.offset_z)
+    scales = (cfg.scale_x, cfg.scale_y, cfg.scale_z)
+    if any(v != "auto" for v in offsets + scales):
+        # reference OFFSET_*/SCALE_* writer kwargs (apply.py:343-353): a
+        # LAS-style int32-quantized copy with the scale/offset recorded in
+        # the table manifest
+        from codem_spark.io import tables
+
+        tables.quantized_point_write(
+            out, os.path.join(args.output_dir, "registered_aoi_quantized"),
+            offsets=offsets, scales=scales,
+        )
     return rec
 
 
@@ -131,6 +221,10 @@ def cmd_vcd(spark: SparkSession, args: argparse.Namespace) -> dict:
         ground_height=args.ground_height, tolerance=args.tolerance,
         min_points=args.min_points, resolution=args.resolution,
         knn_radius=args.knn_radius,
+        trust_labels=args.trust_labels, compute_hag=args.compute_hag,
+        class_labels=tuple(args.class_labels),
+        cull_cluster_ids=tuple(args.cull_cluster_ids),
+        colormap=args.colormap, spacing_override=args.spacing_override,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "config.json"), "w") as fh:
@@ -150,6 +244,14 @@ def cmd_vcd(spark: SparkSession, args: argparse.Namespace) -> dict:
     for name, df in prods.items():
         lineage.run_stage(spark, args.output_dir, f"product_{name}",
                           lambda df=df: df, input_fingerprint=fp)
+    # colored cluster point cloud (reference save(), vcd/preprocessing/
+    # preprocess.py:332-369): diverging-colormap uint16 RGB + LAS-style
+    # int32 scale/offset quantization, under points/ like the reference
+    from codem_spark.io import tables
+
+    tables.quantized_point_write(
+        clus, os.path.join(args.output_dir, "points", "clusters")
+    )
     # final interchange export, like the reference's meshes/ dir
     # (vcd/main.py Mesh.write): per-cluster hull multipatch shapefile
     vcd.export_multipatch(clus, os.path.join(args.output_dir, "meshes", "clusters"))

@@ -35,6 +35,31 @@ class VcdConfig:
     min_points: int = 30  # cluster cull (":34")
     resolution: float = 1.0  # product raster resolution (":32")
     knn_radius: float = 50.0  # dZ join search bound
+    # reference VcdRunConfig extras (vcd/main.py:20-37):
+    # TRUST_LABELS: keep existing classifications — only the returns filter
+    # runs; otherwise the noise/water class drops apply (":162-174")
+    trust_labels: bool = False
+    # COMPUTE_HAG: dZ = TIN height-above-ground (before=ground) instead of
+    # nearest-3D-point dZ (":194-221")
+    compute_hag: bool = False
+    # CLASS_LABELS: classifications kept before clustering (":234-239").
+    # Reference default (2, 6) = ground + building after its SMRF re-label;
+    # the engine keeps input labels as-is, so the filter only applies when a
+    # classification column exists.
+    class_labels: tuple[int, ...] = (2, 6)
+    # CULL_CLUSTER_IDS: cluster ids dropped after clustering (":245-249").
+    # Reference default (-1, 0): PDAL reserves 0 for 'unclustered'. Engine
+    # labels are min-pids with -1 = below-min_points, so 0 can be a REAL
+    # cluster here — the engine default culls only -1.
+    cull_cluster_ids: tuple[int, ...] = (-1,)
+    # COLORMAP (":140-147"): the engine ships one built-in diverging
+    # blue-white-red ramp (grid.colormap_encode); the name is recorded in
+    # config output for parity.
+    colormap: str = "bwr"
+    # SPACING override (vcd/main.py:95-99): accepted for CLI contract
+    # parity; the reference parses it into VcdRunConfig but its pipeline
+    # never consumes it (grep: only main.py references SPACING).
+    spacing_override: float | None = None
 
     def __post_init__(self) -> None:
         if self.ground_height <= 0:
@@ -45,15 +70,25 @@ class VcdConfig:
             raise ValueError("min_points must be a positive integer.")
         if self.resolution <= 0:
             raise ValueError("resolution must be greater than 0.")
+        if self.spacing_override is not None and self.spacing_override <= 0:
+            raise ValueError("spacing_override must be greater than 0.")
 
 
-def preprocess_filters(points: DataFrame) -> DataFrame:
+def preprocess_filters(points: DataFrame, cfg: VcdConfig | None = None) -> DataFrame:
     """The reference's PDAL filter chain re-expressed as SQL predicates
-    (vcd/preprocessing/preprocess.py:163-174):
+    (vcd/preprocessing/preprocess.py:162-174):
       Classification![7:7], ![18:), ![9:9]  (noise/water dropped)
       returns: keep only-returns (return_number == number_of_returns == 1
-      semantics for 'only' group)."""
-    out = points.filter(~F.col("classification").isin([7, 9]) & (F.col("classification") < 18))
+      semantics for 'only' group).
+    With ``trust_labels`` (reference ":172-174") existing classifications
+    are trusted: only the returns filter runs."""
+    cfg = cfg or VcdConfig()
+    if cfg.trust_labels:
+        out = points
+    else:
+        out = points.filter(
+            ~F.col("classification").isin([7, 9]) & (F.col("classification") < 18)
+        )
     if "return_number" in points.columns:
         out = out.filter((F.col("return_number") == 1) & (F.col("number_of_returns") == 1))
     return out
@@ -81,6 +116,33 @@ def compute_dz(
         F.col("l_y").alias("y"),
         F.col("l_z").alias("z"),
         (F.col("l_z") - F.col("r_z")).alias("dz"),
+    )
+
+
+def compute_hag_dz(
+    before: DataFrame, after: DataFrame, extent: Extent, cfg: VcdConfig
+) -> DataFrame:
+    """COMPUTE_HAG workflow (reference vcd/preprocessing/preprocess.py:199-221):
+    before = ground, after = non-ground; dz = z_after - TIN(before)(x, y) —
+    the hag_delaunay analog, using the engine's distributed Bowyer-Watson
+    TIN resample (J7). After-points outside the TIN / search radius have no
+    ground height and are dropped (the reference's NaN HAG)."""
+    from codem_spark.operators import resample
+
+    g = resample.resample_to_points(
+        before.select("x", "y", "z"),
+        after.select("pid", "x", "y"),
+        extent,
+        radius=cfg.knn_radius,
+        value_cols=("z",),
+        method="tin",
+    ).select("pid", F.col("z").alias("_ground_z"))
+    return (
+        after.select("pid", "x", "y", "z")
+        .join(g, "pid")
+        .withColumn("dz", F.col("z") - F.col("_ground_z"))
+        .filter(F.col("dz").isNotNull() & ~F.isnan("dz"))
+        .select("pid", "x", "y", "z", "dz")
     )
 
 
@@ -136,6 +198,23 @@ def export_multipatch(
     )
 
 
+def colored_clusters(clustered: DataFrame) -> DataFrame:
+    """The reference's colored cluster point-cloud product (save(),
+    vcd/preprocessing/preprocess.py:332-369): TwoSlopeNorm over the data's
+    own dZ range (vmin = min dZ, vcenter = 0, vmax = max dZ) -> diverging
+    colormap -> uint16 RGB channels per the LAS spec, appended to the
+    cluster cloud. Engine: the same piecewise norm + built-in
+    blue-white-red ramp as pure column expressions (grid.colormap_encode)."""
+    stats = clustered.agg(F.min("dz").alias("lo"), F.max("dz").alias("hi")).collect()[0]
+    lo = float(stats["lo"] if stats["lo"] is not None else -1.0)
+    hi = float(stats["hi"] if stats["hi"] is not None else 1.0)
+    # TwoSlopeNorm requires vmin < vcenter < vmax; degenerate all-raised or
+    # all-lowered scenes clamp the empty side to a unit span
+    lo = min(lo, -1e-9)
+    hi = max(hi, 1e-9)
+    return grid.colormap_encode(clustered, "dz", vmin=lo, vcenter=0.0, vmax=hi)
+
+
 def run_vcd(
     before: DataFrame,
     after: DataFrame,
@@ -143,14 +222,35 @@ def run_vcd(
     cfg: VcdConfig | None = None,
 ) -> tuple[DataFrame, DataFrame, dict[str, DataFrame]]:
     """Full VCD run -> (clustered change points, cluster summaries,
-    product rasters)."""
+    product rasters). The clustered frame carries uint16 RGB columns (the
+    reference's colored LAS product) and has cull_cluster_ids applied."""
     cfg = cfg or VcdConfig()
-    b = preprocess_filters(before) if "classification" in before.columns else before
-    a = preprocess_filters(after) if "classification" in after.columns else after
-    dz = compute_dz(b, a, extent, cfg)
+    b = preprocess_filters(before, cfg) if "classification" in before.columns else before
+    a = preprocess_filters(after, cfg) if "classification" in after.columns else after
+    dz = (
+        compute_hag_dz(b, a, extent, cfg)
+        if cfg.compute_hag
+        else compute_dz(b, a, extent, cfg)
+    )
     sig = significant_changes(dz, cfg)
-    clustered = cluster_changes(sig, extent, cfg).persist()
-    clustered.count()
+    # CLASS_LABELS keep-filter before clustering (reference ":234-239");
+    # only meaningful when the input carries a classification column
+    if "classification" in after.columns and cfg.class_labels:
+        keep = after.select("pid", "classification")
+        sig = (
+            sig.join(keep, "pid")
+            .filter(F.col("classification").isin(list(cfg.class_labels)))
+            .drop("classification")
+        )
+    clustered = cluster_changes(sig, extent, cfg)
+    # CULL_CLUSTER_IDS (reference ":245-249") before products/meshes
+    if cfg.cull_cluster_ids:
+        clustered = clustered.filter(
+            ~F.col("cluster_id").isin(list(cfg.cull_cluster_ids))
+        )
+    clustered = clustered.persist()
+    clustered.count()  # materialize once; the color-range agg hits the cache
+    clustered = colored_clusters(clustered)
     summaries = hull.cluster_summaries(clustered)
     prods = products(sig, extent, cfg)
     return clustered, summaries, prods

@@ -76,3 +76,85 @@ def test_cli_vcd_writes_products(spark, scene):
         assert os.path.isdir(os.path.join(out_dir, stage)), stage
     manifests = [f for f in os.listdir(out_dir) if f.startswith("stage_")]
     assert len(manifests) == 5
+
+
+def test_cli_register_residuals_and_quantized_output(spark, scene):
+    """--icp-save-residuals (reference main.py:318-323 / apply.py:375-391)
+    and --offset-*/--scale-* (main.py:150-163) driven end-to-end."""
+    root, fnd_p, aoi_p = scene
+    out_dir = str(root / "run_resid")
+    rc = cli.main(
+        ["register", fnd_p, aoi_p, "--output-dir", out_dir,
+         "--min-resolution", "4.0", "--resolution", "4.0", "--icp-max-iter", "10",
+         "--icp-save-residuals",
+         "--offset-x", "0", "--offset-y", "0", "--offset-z", "0",
+         "--scale-x", "0.01", "--scale-y", "0.01", "--scale-z", "0.01"],
+        spark=spark,
+    )
+    assert rc == 0
+    reg = spark.read.parquet(os.path.join(out_dir, "registered_aoi"))
+    for c in ("residual_x", "residual_y", "residual_z", "residual_horiz", "residual_3d"):
+        assert c in reg.columns, reg.columns
+    # residuals vs the foundation must be small (the scene is registered)
+    med = reg.approxQuantile("residual_3d", [0.5], 0.01)[0]
+    assert med is not None and med < 4.0
+    # quantized copy: int32 coords + manifest scale/offset roundtrip
+    from codem_spark.io import tables
+
+    qpath = os.path.join(out_dir, "registered_aoi_quantized")
+    qdf = spark.read.parquet(qpath)
+    assert dict(qdf.dtypes)["x"] == "int"
+    back = tables.quantized_point_read(spark, qpath)
+    a = back.select("pid", "x").toPandas().sort_values("pid")
+    b = reg.select("pid", "x").toPandas().sort_values("pid")
+    assert (abs(a.x.values - b.x.values) <= 0.005 + 1e-9).all()
+
+
+def test_cli_register_tight_search_off(spark, scene):
+    """--tight-search false (the reference's default): no overlap clip; the
+    pipeline still recovers the planted shift over the union extent."""
+    root, fnd_p, aoi_p = scene
+    out_dir = str(root / "run_notight")
+    rc = cli.main(
+        ["register", fnd_p, aoi_p, "--output-dir", out_dir,
+         "--min-resolution", "4.0", "--icp-max-iter", "10",
+         "--tight-search", "false"],
+        spark=spark,
+    )
+    assert rc == 0
+    with open(os.path.join(out_dir, "registration.json")) as fh:
+        rec = json.load(fh)
+    assert rec["fine"]["trans_x"] == pytest.approx(-10.0, abs=1.0)
+
+
+def test_cli_vcd_flags_and_colored_points(spark, scene):
+    """vcd --cull-cluster-ids/--trust-labels/--colormap/--spacing-override +
+    the colored quantized cluster cloud (reference save(),
+    vcd/preprocessing/preprocess.py:332-369)."""
+    root, fnd_p, aoi_p = scene
+    out_dir = str(root / "vcd_flags")
+    rc = cli.main(
+        ["vcd", fnd_p, aoi_p, "--output-dir", out_dir,
+         "--ground-height", "1.0", "--cluster-tolerance", "25.0",
+         "--min-points", "5", "--resolution", "20.0", "--knn-radius", "30.0",
+         "--cull-cluster-ids", "-1", "--trust-labels",
+         "--colormap", "bwr", "--spacing-override", "0.5"],
+        spark=spark,
+    )
+    assert rc == 0
+    with open(os.path.join(out_dir, "config.json")) as fh:
+        cfgrec = json.load(fh)
+    assert cfgrec["trust_labels"] is True
+    assert cfgrec["colormap"] == "bwr"
+    assert cfgrec["spacing_override"] == 0.5
+    from codem_spark.io import tables
+
+    pts = tables.quantized_point_read(spark, os.path.join(out_dir, "points", "clusters"))
+    for c in ("red", "green", "blue", "cluster_id", "dz"):
+        assert c in pts.columns, pts.columns
+    pdf = pts.select("red", "green", "blue", "cluster_id").toPandas()
+    assert len(pdf) > 0
+    for c in ("red", "green", "blue"):
+        assert pdf[c].between(0, 65535).all()
+    # cull applied: no -1 (small-cluster) ids in the product
+    assert (pdf.cluster_id != -1).all()

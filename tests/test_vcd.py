@@ -144,3 +144,84 @@ def test_cluster_volume_sloped_not_prism(spark):
     prism_vol = abs(pdf2.dz.mean()) * w * d
     assert hull_vol == pytest.approx(0.5 * w * d * h, rel=0.03)  # hull = wedge
     assert abs(prism_vol - hull_vol) / hull_vol > 0.25  # old formula provably off
+
+
+def test_colored_clusters_match_colormap_oracle(spark):
+    """Reference save() (vcd/preprocessing/preprocess.py:332-369):
+    TwoSlopeNorm(vmin=min dZ, vcenter=0, vmax=max dZ) -> diverging ramp ->
+    uint16 channels. Exact numpy oracle of the piecewise norm + ramp."""
+    dz = np.array([-4.0, -2.0, 0.0, 1.0, 3.0])
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(len(dz)), "x": dz * 0, "y": dz * 0,
+                      "z": dz * 0, "dz": dz})
+    )
+    got = vcd.colored_clusters(df).toPandas().sort_values("pid").reset_index(drop=True)
+    lo, hi = dz.min(), dz.max()
+    norm = np.where(dz < 0.0, (dz - lo) / (0.0 - lo) * 0.5, 0.5 + (dz - 0.0) / hi * 0.5)
+    norm = np.clip(norm, 0.0, 1.0)
+    exp = {
+        "red": np.where(norm <= 0.5, norm * 2.0, 1.0),
+        "blue": np.where(norm >= 0.5, (1.0 - norm) * 2.0, 1.0),
+        "green": np.where(norm <= 0.5, norm * 2.0, (1.0 - norm) * 2.0),
+    }
+    for ch, e in exp.items():
+        want = np.round(e * 65535.0).astype(np.int64)
+        assert (got[ch].to_numpy() == want).all(), (ch, got[ch].to_numpy(), want)
+        assert got[ch].between(0, 65535).all()
+
+
+def test_compute_hag_dz_recovers_height_above_ground(spark):
+    """COMPUTE_HAG workflow (reference ":199-221"): before = ground TIN,
+    dz = after z minus the TIN-interpolated ground under it."""
+    rng = np.random.default_rng(33)
+    n = 12_000
+    x = rng.uniform(0, 400, n)
+    y = rng.uniform(0, 400, n)
+    gz = 0.05 * x + 0.02 * y  # smooth ground plane (TIN-exact: linear)
+    before = pd.DataFrame({"pid": np.arange(n), "x": x, "y": y, "z": gz})
+    inside = (x > 100) & (x < 160) & (y > 100) & (y < 160)
+    z2 = gz + np.where(inside, 5.0, 0.0)
+    after = pd.DataFrame({"pid": np.arange(n) + 10**6, "x": x, "y": y, "z": z2})
+    cfg = vcd.VcdConfig(compute_hag=True, knn_radius=30.0)
+    dz = vcd.compute_hag_dz(
+        spark.createDataFrame(before), spark.createDataFrame(after),
+        (0.0, 0.0, 400.0, 400.0), cfg,
+    ).toPandas()
+    m = dz.merge(after, on="pid", suffixes=("", "_a"))
+    on_box = (m.x > 102) & (m.x < 158) & (m.y > 102) & (m.y < 158)
+    off_box = ~((m.x > 98) & (m.x < 162) & (m.y > 98) & (m.y < 162))
+    # linear ground: TIN interpolation is exact away from the box edges
+    assert np.abs(m.dz[on_box] - 5.0).median() < 0.05
+    assert np.abs(m.dz[off_box]).median() < 0.05
+
+
+def test_trust_labels_keeps_classifications(spark):
+    pdf = pd.DataFrame(
+        {"pid": np.arange(6), "x": np.zeros(6), "y": np.zeros(6),
+         "z": np.zeros(6), "classification": [1, 2, 7, 9, 18, 6]}
+    )
+    df = spark.createDataFrame(pdf)
+    kept_default = vcd.preprocess_filters(df, vcd.VcdConfig()).count()
+    kept_trusted = vcd.preprocess_filters(df, vcd.VcdConfig(trust_labels=True)).count()
+    assert kept_default == 3  # 7 (noise), 9 (water), 18+ dropped
+    assert kept_trusted == 6
+
+
+def test_class_labels_filter_before_clustering(spark, before_after):
+    """CLASS_LABELS (reference ":234-239"): with a classification column on
+    the after cloud, only listed classes survive into clustering."""
+    before, after, n_new, n_fled = before_after
+    after_cls = after.withColumn(
+        "classification",
+        F.when(F.col("x") < 500, F.lit(6)).otherwise(F.lit(1)),
+    )
+    cfg = vcd.VcdConfig(
+        ground_height=1.0, tolerance=15.0, min_points=10, resolution=20.0,
+        knn_radius=30.0, class_labels=(2, 6), trust_labels=True,
+    )
+    clustered, summaries, _prods = vcd.run_vcd(before, after_cls, EXT, cfg)
+    s = summaries.toPandas()
+    # the x<500 'New' building (class 6) survives; the x>=500 'Fled' one
+    # (class 1) is filtered out before clustering
+    assert set(s.status) == {"New"}
+    clustered.unpersist()
