@@ -119,7 +119,12 @@ def _bench_registration_1m(spark):
         "total_sec": round(total, 3),
         "rows_per_sec": round(n_total / max(total, 1e-9), 1),
         "coarse_rmse_3d": round(float(c.rmse_3d), 4),
+        # nonzero by construction: the default fine path registers the
+        # pipeline-resolution DSM-derived clouds (the reference's _dsm2pc
+        # early downsample), so residuals are grid-sampling-bounded, not
+        # exact-subset-zero
         "fine_rmse_3d": round(float(f.rmse_3d), 4),
+        "fine_iters": f.iterations,
     }
 
 

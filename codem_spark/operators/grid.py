@@ -291,13 +291,19 @@ def clip_bbox(df: DataFrame, bbox: tuple[float, float, float, float], x: str = "
 
 
 def quantize_normalize(
-    df: DataFrame, col: str = "z", lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = False
+    df: DataFrame, col: str = "z", lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = False,
+    bounds: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """G5: percentile clip -> uint8 [1, 255] (0 reserved for nodata), the
     reference's DSM normalization (preprocess.py:278-283: clip to 1st/99th
     percentile then scale). approxQuantile for the 100 TB path; exact
-    percentile for oracle parity."""
-    if exact:
+    percentile for oracle parity. ``bounds`` short-circuits the percentile
+    job with caller-supplied (lo, hi) — callers quantizing several columns
+    of one frame batch all percentiles into ONE agg (registration
+    _prep_dsm) instead of one job per column."""
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    elif exact:
         qs = df.agg(
             F.expr(f"percentile({col}, {lo_q})").alias("lo"),
             F.expr(f"percentile({col}, {hi_q})").alias("hi"),

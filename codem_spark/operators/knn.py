@@ -354,6 +354,8 @@ def knn_join(
     level: int | None = None,
     n_left: int | None = None,
     right_tiled: DataFrame | None = None,
+    post: "Callable[[pd.DataFrame], pd.DataFrame] | None" = None,
+    post_schema: str | None = None,
 ) -> DataFrame:
     """Radius-bounded k-nearest-neighbor join (left row -> up to k nearest
     right rows within ``radius`` in ``dims``-space; xy drives tiling).
@@ -367,6 +369,13 @@ def knn_join(
     ``right_tiled``: a pre-tiled data side from :func:`tile_right` (built at
     the SAME level/radius/ring); ``right`` is then ignored. Loop callers
     cache it once so only the left side shuffles per join.
+
+    ``post``: a per-tile reducer applied to the kNN kernel's output pandas
+    frame INSIDE the cogroup (output schema ``post_schema``). Iterative
+    solvers (the ICP loop) fuse their partial-sums kernel here, so one
+    Python stage per iteration both matches correspondences and reduces
+    them to a constant-size partial row — no full correspondence frame ever
+    crosses a stage boundary.
     """
     if level is None:
         par = left.sparkSession.sparkContext.defaultParallelism
@@ -404,14 +413,15 @@ def knn_join(
 
     def run(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         r = r.rename(columns={c: c[3:] for c in r.columns if c.startswith("_r_")})
-        return kernel(l, r)
+        out = kernel(l, r)
+        return post(out) if post is not None else out
 
     # Build the output schema explicitly from the input schemas.
     lf = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     parts = [f"{lid} {lf[lid]}", f"n_{rid} {rf[rid]}", "nn_dist double", "nn_rank int"]
     parts += [f"l_{c} {lf[c]}" for c in l_carry]
     parts += [f"r_{c} {rf[c]}" for c in r_carry]
-    out_schema = ", ".join(parts)
+    out_schema = post_schema if post is not None else ", ".join(parts)
 
     return (
         lsel.groupBy("cell_id")

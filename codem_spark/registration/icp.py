@@ -12,15 +12,18 @@ conditioning (icp.py:116-119), convergence on relative dRMSE < 1e-4 or
 Engine design (the north-star op): the fixed cloud is tiled once per run
 (cell + 1-ring halo duplication via knn.tile_right, radius = the kNN bound),
 hash-partitioned by cell and *cached*, so each iteration exchanges only the
-moving side; each iteration is one Spark job: transform moving points (pure
-column exprs of the current 4x4), cogroup with the cached fixed tiles, and
-a vectorized
-kernel emits ONE partial row per tile: the flattened upper triangle of
-A^T W A (7x7 -> 28), A^T W b (7), sum w*r^2, sum r^2, n. Partials are
-``treeReduce``d (numpy add) to the driver, which solves the 7x7 system,
-composes the update, and re-broadcasts — identical math to the reference,
-distributed sums. Weights stay a column; W is never materialized
-(reference keeps it a sparse diagonal, icp.py:285).
+moving side; each iteration is ONE Spark job with ONE Python stage:
+transform moving points (pure column exprs of the current 4x4), cogroup
+with the cached fixed tiles, and a FUSED vectorized kernel that both
+matches kNN correspondences and collapses them to one constant-size
+partial row per tile — the flattened upper triangle of A^T W A (7x7 ->
+28), A^T W b (7), sum w*r^2, sum r^2, n. The full correspondence frame
+never crosses a stage boundary. Partial rows are tree-reduced JVM-side
+(hash agg with map-side partial sums) and one 39-float row is collected;
+the driver solves the 7x7 system, composes the update, and re-broadcasts
+— identical math to the reference, distributed sums. Weights stay a
+column; W is never materialized (reference keeps it a sparse diagonal,
+icp.py:285).
 """
 
 from __future__ import annotations
@@ -232,8 +235,10 @@ def fine_registration(
     fixed_n.count()
     r_carry = ("x", "y", "z", "nx", "ny", "nz")
 
-    # mean-centering offset for conditioning (reference icp.py:116-119)
-    mu_row = fixed.agg(
+    # mean-centering offset for conditioning (reference icp.py:116-119) —
+    # computed from the CACHED normals frame (same x/y/z rows as `fixed`),
+    # not the raw input, whose unpersisted derivation chain would re-scan
+    mu_row = fixed_n.agg(
         F.avg("x").alias("mx"), F.avg("y").alias("my"), F.avg("z").alias("mz")
     ).collect()[0]
     mu = np.array([mu_row["mx"], mu_row["my"], mu_row["mz"]])
@@ -276,11 +281,27 @@ def fine_registration(
     rmse = (0.0, 0.0, 0.0, 0.0)
     t_c = demean @ t_total @ remean  # work in centered frame
 
+    _acc_cols = [f"m{i}" for i in range(28)] + [f"b{i}" for i in range(7)] + [
+        "wr2", "r2", "sw", "n",
+    ]
+    _corr_renames = {
+        "l_x": "mx", "l_y": "my", "l_z": "mz",
+        "r_x": "fx", "r_y": "fy", "r_z": "fz",
+        "r_nx": "nx", "r_ny": "ny", "r_nz": "nz",
+    }
     for it in range(cfg.icp_max_iter):
         n_iters = it + 1
         # transform ORIGINAL moving points into the centered current pose
         cur = apply_transform_cols(moving_base, t_c @ demean)
-        corr = knn.knn_join(
+        # FUSED iteration (one Python stage, one job): the kNN cogroup
+        # kernel matches correspondences per tile and the fused `post`
+        # reducer immediately collapses them to ONE constant-size partial
+        # row (upper triangle of A^T W A, A^T W b, residual sums) — the
+        # full correspondence frame never crosses a stage boundary. The
+        # partial rows are tree-reduced JVM-side (partial_sum map-side
+        # combine + final agg: Spark's hash agg IS the treeReduce here).
+        kern = _partials_kernel_builder(cfg.icp_solve_scale, alpha, beta, cfg.icp_robust)
+        partials = knn.knn_join(
             cur,
             None,
             c_extent,
@@ -292,25 +313,13 @@ def fine_registration(
             r_carry=r_carry,
             level=join_level,
             right_tiled=fixed_tiled,
-        ).select(
-            F.col("l_x").alias("mx"), F.col("l_y").alias("my"), F.col("l_z").alias("mz"),
-            F.col("r_x").alias("fx"), F.col("r_y").alias("fy"), F.col("r_z").alias("fz"),
-            F.col("r_nx").alias("nx"), F.col("r_ny").alias("ny"), F.col("r_nz").alias("nz"),
+            post=lambda pdf, _k=kern: _k(pdf.rename(columns=_corr_renames)),
+            post_schema=_PARTIAL_SCHEMA,
         )
-        kern = _partials_kernel_builder(cfg.icp_solve_scale, alpha, beta, cfg.icp_robust)
-        # one partial row per Arrow batch — no shuffle at all; the reduce
-        # below is the only data movement of the solve
-        partials = corr.mapInPandas(
-            lambda it_, _kern=kern: (_kern(pdf) for pdf in it_ if len(pdf)),
-            schema=_PARTIAL_SCHEMA,
-        )
-        # treeReduce of the per-tile partial sums (the north-star reduction)
-        acc = (
-            partials.select([f"m{i}" for i in range(28)] + [f"b{i}" for i in range(7)]
-                            + ["wr2", "r2", "sw", "n"])
-            .rdd.map(lambda row: np.array(row, dtype=np.float64))
-            .treeReduce(lambda a, b: a + b, depth=2)
-        )
+        row = partials.agg(
+            *[F.sum(c).alias(c) for c in _acc_cols]
+        ).collect()[0]
+        acc = np.array([float(row[c] or 0.0) for c in _acc_cols], dtype=np.float64)
         n_pairs = int(acc[-1])
         if n_pairs < 10:
             raise ValueError(f"ICP found too few correspondences ({n_pairs})")

@@ -80,8 +80,16 @@ def _prep_dsm(
     # 121 -> 4 on a 2.5 px translation), whereas the full-band surface is
     # stable. The reference's multi-scale float AKAZE descriptor tolerates
     # band-passed input; a single-scale binary descriptor does not.
-    q = grid.quantize_normalize(bp, "bp", exact=True)
-    q = grid.quantize_normalize(q, "z", exact=True)
+    # ONE agg for all four clip percentiles (two columns x lo/hi) instead
+    # of one percentile job per quantized column
+    qs = bp.agg(
+        F.expr("percentile(bp, 0.01)").alias("bp_lo"),
+        F.expr("percentile(bp, 0.99)").alias("bp_hi"),
+        F.expr("percentile(z, 0.01)").alias("z_lo"),
+        F.expr("percentile(z, 0.99)").alias("z_hi"),
+    ).collect()[0]
+    q = grid.quantize_normalize(bp, "bp", bounds=(qs["bp_lo"], qs["bp_hi"]))
+    q = grid.quantize_normalize(q, "z", bounds=(qs["z_lo"], qs["z_hi"]))
     out = q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8")).persist()
     out.count()  # materialize through the cached band-pass, then release it
     bp.unpersist(False)
@@ -128,8 +136,17 @@ def preprocess(
     if resolution is None:
         resolution = estimate_pipeline_resolution(fnd_points, aoi_points, extent, cfg)
     resolution = max(resolution, cfg.min_resolution)
-    fnd_dsm = _prep_dsm(fnd_points, extent, resolution, cfg).persist()
-    aoi_dsm = _prep_dsm(aoi_points, extent, resolution, cfg).persist()
+    # The two sides' DSM chains are independent job DAGs — submit them from
+    # two driver threads so their stages interleave on the same executors
+    # (Spark schedulers are thread-safe; this halves preprocess wall time
+    # when neither side alone saturates the cluster).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fnd = pool.submit(lambda: _prep_dsm(fnd_points, extent, resolution, cfg))
+        f_aoi = pool.submit(lambda: _prep_dsm(aoi_points, extent, resolution, cfg))
+        fnd_dsm = f_fnd.result().persist()
+        aoi_dsm = f_aoi.result().persist()
     return PreprocessResult(fnd_points, aoi_points, fnd_dsm, aoi_dsm, extent, resolution)
 
 
