@@ -1,11 +1,12 @@
 """Multimodal (image/audio/video) column operators.
 
 Engine-new tier: media are opaque ``binary`` columns plus typed metadata
-structs, decoded INSIDE Arrow-batched mapInPandas workers so per-image
+structs, decoded INSIDE Arrow-batched mapInPandas workers so per-media
 Python cost is amortized across the executor fleet. Real decode is
 implemented from scratch (functions/imagecodec.py — PNG via stdlib zlib +
-numpy unfiltering, PPM, BMP; the container has no PIL/cv2). ``fake=True``
-keeps the r2/r3 deterministic pseudo-decoder for tests that only exercise
+numpy unfiltering, PPM, BMP; functions/audiocodec.py — PCM WAV per the
+RIFF spec; the container has no PIL/cv2/soundfile). ``fake=True`` keeps
+the r2/r3 deterministic pseudo-decoder for tests that only exercise
 plumbing shape.
 """
 
@@ -104,6 +105,66 @@ def decode_image_features(
                 out = pdf.copy()
                 out["features"] = [_real_features(p) for p in pdf[media_col]]
                 yield out
+
+    return df.mapInPandas(batches, schema=f"{in_fields}, features array<double>")
+
+
+#: feature vector layout of decode_audio_features (6 + n_windows entries)
+AUDIO_FEATURE_NAMES = ("duration_sec", "sample_rate", "channels", "rms", "peak", "zcr")
+
+
+def attach_wav_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 4096,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Give each row a REAL (deterministic) PCM WAV payload, encoded in the
+    executors with the from-scratch RIFF codec (functions/audiocodec.py) —
+    the audio analog of attach_png_media: an id-seeded sine + noise tone at
+    an id-dependent frequency."""
+    from codem_spark.functions import audiocodec
+
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def batches(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf[id_col]:
+                did = int(did)
+                rng = np.random.default_rng(did)
+                t = np.arange(n_samples) / sample_rate
+                freq = 110.0 * (1 + did % 40)
+                wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samples)
+                pcm = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
+                blobs.append(audiocodec.encode_wav(pcm, sample_rate))
+            out = pdf.copy()
+            out["audio"] = blobs
+            yield out
+
+    return df.mapInPandas(batches, schema=f"{in_fields}, audio binary")
+
+
+def decode_audio_features(
+    df: DataFrame, media_col: str = "audio", n_windows: int = 8
+) -> DataFrame:
+    """binary WAV -> fixed-width feature vector (duration/rate/channels/
+    RMS/peak/zero-cross rate + n_windows RMS energy contour) via
+    mapInPandas — the real from-scratch decode, Arrow-batched like
+    decode_image_features."""
+    from codem_spark.functions import audiocodec
+
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def batches(it):
+        for pdf in it:
+            out = pdf.copy()
+            feats = []
+            for p in pdf[media_col]:
+                samples, rate = audiocodec.decode_wav(bytes(p))
+                feats.append(audiocodec.audio_features(samples, rate, n_windows))
+            out["features"] = feats
+            yield out
 
     return df.mapInPandas(batches, schema=f"{in_fields}, features array<double>")
 

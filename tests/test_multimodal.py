@@ -53,3 +53,71 @@ def test_frame_sample_fanout(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
     frames = multimodal.frame_sample_plan(docs, n_frames=4)
     assert frames.count() == 40
+
+
+def test_wav_codec_roundtrip_exact():
+    """From-scratch RIFF/WAVE codec: encode -> decode is bit-exact for
+    8/16/32-bit PCM, mono and stereo, including the odd-length pad byte."""
+    import numpy as np
+
+    from codem_spark.functions import audiocodec
+
+    rng = np.random.default_rng(7)
+    for dtype, lo, hi in ((np.uint8, 0, 256), (np.int16, -32768, 32768), (np.int32, -2**31, 2**31)):
+        for ch in (1, 2):
+            for n in (255, 1024):  # 255 mono 8-bit = odd data size -> pad path
+                s = rng.integers(lo, hi, (n, ch)).astype(dtype)
+                blob = audiocodec.encode_wav(s, 8000)
+                back, rate = audiocodec.decode_wav(blob)
+                assert rate == 8000
+                assert back.shape == (n, ch)
+                assert (back == s).all(), (dtype, ch, n)
+
+
+def test_wav_decode_skips_unknown_chunks_and_rejects_garbage():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from codem_spark.functions import audiocodec
+
+    s = np.arange(100, dtype=np.int16)[:, None]
+    blob = audiocodec.encode_wav(s, 44100)
+    # splice a LIST chunk between fmt and data (readers must skip by size)
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, rate = audiocodec.decode_wav(spliced)
+    assert (back[:, 0] == s[:, 0]).all() and rate == 44100
+    with _pytest.raises(ValueError):
+        audiocodec.decode_wav(b"not a wav at all")
+
+
+def test_audio_decode_distributed_matches_numpy_oracle(spark):
+    """Real WAV decode through mapInPandas: id-seeded tones encoded in the
+    executors, features matched against a driver-side numpy oracle."""
+    import numpy as np
+
+    from codem_spark.functions import audiocodec
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = multimodal.attach_wav_media(docs, n_samples=2048, sample_rate=16_000)
+    feats = multimodal.decode_audio_features(media)
+    pdf = feats.select("doc_id", "features").toPandas()
+    assert len(pdf) == 30
+    for did, f in zip(pdf.doc_id, pdf.features):
+        did = int(did)
+        rng = np.random.default_rng(did)
+        t = np.arange(2048) / 16_000
+        freq = 110.0 * (1 + did % 40)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(2048)
+        pcm = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
+        expect = audiocodec.audio_features(pcm[:, None], 16_000)
+        got = np.asarray(list(f))
+        assert got.shape == expect.shape == (14,)
+        assert np.allclose(got, expect, rtol=0, atol=1e-12), did
+        # sanity: duration and rate decode to the planted values
+        assert abs(got[0] - 2048 / 16_000) < 1e-12
+        assert got[1] == 16_000.0 and got[2] == 1.0
