@@ -168,6 +168,34 @@ def _q_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.cluster_sizes(ev).select("event_id", "cluster_size")
 
 
+def _q_sor_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 statistical outlier removal (SOR) — per-point mean distance to
+    its k=8 radius-bounded nearest neighbors, flagged above the global
+    mu + 2*sd of that statistic or when under-neighbored (reference VCD
+    preprocessing outlier chain, vcd/preprocessing/preprocess.py:167-169;
+    PDAL filters.outlier semantics). Boolean output, no float columns in
+    the hash; the oracle is an exact IEJoin-range twin."""
+    from codem_spark.operators import outliers
+
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 8 == 1)
+    return outliers.statistical_outliers(
+        pts, EXTENT, radius=KNN_RADIUS, k=8, multiplier=2.0
+    ).select("pid", "is_outlier")
+
+
+def _q_elm_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 extended-local-minimum low-noise flag: z below the cell's exact
+    5th percentile by more than the threshold (PDAL filters.elm analog,
+    reference vcd/preprocessing/preprocess.py:167-169). Exact-percentile
+    SQL twin (quantile_cont); boolean output."""
+    from codem_spark.operators import outliers
+
+    pts = _points(spark, sf_dir)
+    return outliers.local_minimum_outliers(
+        pts, EXTENT, cell_level=6, threshold=2.0
+    ).select("pid", "is_low_noise")
+
+
 def _q_union_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     a = ev.filter(F.col("event_type").isin(["click", "view"]) & (F.col("value") > 50.0))
@@ -984,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip": _q_pip,
         "knn_dz": _q_knn_dz,
         "window_count": _q_window_count,
+        "sor_outliers": _q_sor_outliers,
+        "elm_noise": _q_elm_noise,
         "union_filters": _q_union_filters,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1068,6 +1098,42 @@ def oracle_sql() -> dict[str, str]:
         "window_count": """
             SELECT event_id, count(*) OVER (PARTITION BY user_id) AS cluster_size
             FROM events""",
+        "sor_outliers": f"""
+            WITH pts AS (
+              SELECT pid, x, y, z FROM ({_points_sql()}) WHERE pid % 8 = 1
+            ),
+            cand AS (
+              SELECT a.pid AS pid, b.pid AS npid,
+                     sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                          + (a.z-b.z)*(a.z-b.z)) AS d
+              FROM pts a JOIN pts b
+                ON b.x >= a.x - {KNN_RADIUS!r} AND b.x <= a.x + {KNN_RADIUS!r}
+               AND b.y >= a.y - {KNN_RADIUS!r} AND b.y <= a.y + {KNN_RADIUS!r}
+               AND a.pid <> b.pid
+            ),
+            nn AS (
+              SELECT pid, d, row_number() OVER (PARTITION BY pid ORDER BY d, npid) AS rk
+              FROM cand WHERE d <= {KNN_RADIUS!r}
+            ),
+            md AS (
+              SELECT pid, avg(d) AS m, count(*) AS n_nbrs FROM nn WHERE rk <= 8 GROUP BY pid
+            ),
+            st AS (SELECT avg(m) + 2.0 * stddev_pop(m) AS thresh FROM md)
+            SELECT p.pid AS pid,
+                   (COALESCE(md.m > (SELECT thresh FROM st), TRUE)
+                    OR COALESCE(md.n_nbrs, 0) < 8) AS is_outlier
+            FROM pts p LEFT JOIN md USING (pid)""",
+        "elm_noise": f"""
+            WITH pts AS (SELECT pid, x, y, z FROM ({_points_sql()})),
+            cellz AS (
+              SELECT pid, z, {cell6} AS _cell FROM pts
+            ),
+            floors AS (
+              SELECT _cell, quantile_cont(z, 0.05) AS zfloor
+              FROM cellz GROUP BY _cell
+            )
+            SELECT c.pid AS pid, (c.z < f.zfloor - 2.0) AS is_low_noise
+            FROM cellz c JOIN floors f USING (_cell)""",
         "union_filters": """
             SELECT DISTINCT event_id FROM (
               SELECT event_id FROM events WHERE event_type IN ('click','view') AND value > 50.0

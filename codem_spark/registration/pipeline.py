@@ -156,9 +156,16 @@ def coarse_registration(
     cfg = cfg or EngineConfig()
     # persist keypoints: the matcher consumes each side twice (capacity
     # probe + broadcast/batch pass) — without the cache the Harris tile
-    # kernels rerun per consumer
+    # kernels rerun per consumer. The two sides' extraction DAGs are
+    # independent — materialize them from two driver threads so the Harris
+    # tile kernels interleave on the executors (same pattern as preprocess).
+    from concurrent.futures import ThreadPoolExecutor
+
     fnd_kp = features.extract_features(prep.fnd_dsm, prep.extent, prep.resolution).persist()
     aoi_kp = features.extract_features(prep.aoi_dsm, prep.extent, prep.resolution).persist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(fnd_kp.count), pool.submit(aoi_kp.count)]:
+            f.result()
     try:
         return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg)
     finally:
