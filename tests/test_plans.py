@@ -127,3 +127,66 @@ def test_icp_fixed_tiled_side_exchanges_only_left(spark):
     )
     tiled.unpersist()
     pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
+
+
+def test_fused_icp_iteration_single_python_stage(spark):
+    """The fused ICP iteration (knn_join post=partials): ONE exchange (the
+    moving side) and ONE Python node (FlatMapCoGroupsInPandas) — the
+    correspondence frame never crosses a stage boundary, and no separate
+    MapInPandas / ArrowEval stage exists in the per-iteration plan."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.operators import knn
+    from codem_spark.registration.icp import _PARTIAL_SCHEMA, _partials_kernel_builder
+
+    ext = (0.0, 0.0, 100.0, 100.0)
+    rng = np.random.default_rng(5)
+    n = 400
+    pdf = pd.DataFrame(
+        {"pid": np.arange(n), "x": rng.uniform(0, 100, n),
+         "y": rng.uniform(0, 100, n), "z": rng.uniform(0, 5, n),
+         "nx": np.zeros(n), "ny": np.zeros(n), "nz": np.ones(n)}
+    )
+    fixed = spark.createDataFrame(pdf)
+    moving = spark.createDataFrame(pdf[["pid", "x", "y", "z"]].assign(x=pdf.x + 0.2))
+    level, radius = 3, 2.0
+    r_carry = ("x", "y", "z", "nx", "ny", "nz")
+    tiled = (
+        knn.tile_right(fixed, ext, radius, level, r_carry=r_carry)
+        .repartition(F.col("cell_id"))
+        .persist()
+    )
+    tiled.count()
+    kern = _partials_kernel_builder(True, 2.0, 1.0, True)
+    renames = {"l_x": "mx", "l_y": "my", "l_z": "mz", "r_x": "fx", "r_y": "fy",
+               "r_z": "fz", "r_nx": "nx", "r_ny": "ny", "r_nz": "nz"}
+    partials = knn.knn_join(
+        moving, None, ext, radius, k=1, level=level, right_tiled=tiled,
+        l_carry=("x", "y", "z"), r_carry=r_carry,
+        post=lambda p: kern(p.rename(columns=renames)), post_schema=_PARTIAL_SCHEMA,
+    )
+    agg = partials.agg(F.sum("n").alias("n"), F.sum("r2").alias("r2"))
+
+    def _node_names(p):
+        names = [p.nodeName()]
+        if names[0] == "AdaptiveSparkPlan":
+            return names + _node_names(p.initialPlan())
+        ch = p.children()
+        for i in range(ch.size()):
+            names += _node_names(ch.apply(i))
+        return names
+
+    names = _node_names(agg._jdf.queryExecution().executedPlan())
+    n_py = sum(1 for x in names if "FlatMapCoGroupsInPandas" in x)
+    n_map = sum(1 for x in names if "MapInPandas" in x or "ArrowEval" in x or "BatchEval" in x)
+    n_ex = sum(1 for x in names if "Exchange" in x)
+    assert n_py == 1, names
+    assert n_map == 0, names
+    # moving-side exchange + the final single-partition agg exchange
+    assert n_ex <= 2, (n_ex, names)
+    row = agg.collect()[0]
+    tiled.unpersist()
+    # every moving point has a neighbor within 2.0 (planted 0.2 shift)
+    assert int(row["n"]) == n
+    assert row["r2"] >= 0.0
