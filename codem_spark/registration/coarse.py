@@ -266,9 +266,14 @@ def coarse_registration(
     fnd_kp: DataFrame,
     aoi_kp: DataFrame,
     cfg: EngineConfig | None = None,
+    capture: dict | None = None,
 ) -> RegistrationParameters:
     """Full coarse stage: match -> RANSAC -> umeyama -> RMSE record
-    (the reference's registration.txt fields, dsm.py:404-432)."""
+    (the reference's registration.txt fields, dsm.py:404-432).
+
+    ``capture``: optional dict the stage fills with match diagnostics
+    (pairs frame, inlier mask, coarse matrix) — consumed by the
+    feature-match visualization (registration/viz.py)."""
     cfg = cfg or EngineConfig()
     pairs = match_features(fnd_kp, aoi_kp, cfg.dsm_lowes_ratio)
     m, inl = ransac_similarity(
@@ -277,6 +282,8 @@ def coarse_registration(
         max_iter=cfg.dsm_ransac_max_iter,
         solve_scale=cfg.dsm_solve_scale,
     )
+    if capture is not None:
+        capture.update(pairs=pairs, inliers=inl, coarse_matrix=m.tolist())
     src = pairs[["ax", "ay", "az"]].to_numpy(np.float64)[inl]
     dst = pairs[["fx", "fy", "fz"]].to_numpy(np.float64)[inl]
     res = src @ m[:3, :3].T + m[:3, 3] - dst

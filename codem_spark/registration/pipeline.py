@@ -151,7 +151,8 @@ def preprocess(
 
 
 def coarse_registration(
-    prep: PreprocessResult, cfg: EngineConfig | None = None
+    prep: PreprocessResult, cfg: EngineConfig | None = None,
+    capture: dict | None = None,
 ) -> RegistrationParameters:
     cfg = cfg or EngineConfig()
     # persist keypoints: the matcher consumes each side twice (capacity
@@ -167,7 +168,7 @@ def coarse_registration(
         for f in [pool.submit(fnd_kp.count), pool.submit(aoi_kp.count)]:
             f.result()
     try:
-        return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg)
+        return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg, capture=capture)
     finally:
         fnd_kp.unpersist(False)
         aoi_kp.unpersist(False)
@@ -268,6 +269,7 @@ def register(
     resolution: float | None = None,
     fnd_units: str | float = 1.0,
     aoi_units: str | float = 1.0,
+    capture: dict | None = None,
 ) -> tuple[RegistrationParameters, RegistrationParameters, DataFrame]:
     """Full pipeline: returns (coarse, fine, registered AOI DataFrame).
 
@@ -287,11 +289,19 @@ def register(
     fnd_m = crs.scale_to_meters(fnd_points, ff) if ff != 1.0 else fnd_points
     aoi_m = crs.scale_to_meters(aoi_points, af) if af != 1.0 else aoi_points
     prep = preprocess(fnd_m, aoi_m, extent, cfg, resolution)
-    c = coarse_registration(prep, cfg)
+    c = coarse_registration(prep, cfg, capture=capture)
     f = fine_registration_stage(prep, c, cfg)
     native = crs.registration_to_native(np.array(f.matrix, np.float64), ff, af)
     f.matrix_native = native.tolist()
     out = apply_transform_cols(aoi_points, native)
+    if capture is not None:
+        # the u8 planes the match viz renders — pulled before the DSMs are
+        # released; bounded by CELL count, the same in-memory image the
+        # reference holds (dsm.py normed planes)
+        capture["fnd_dsm_u8"] = prep.fnd_dsm.select("gx", "gy", "z_u8").toPandas()
+        capture["aoi_dsm_u8"] = prep.aoi_dsm.select("gx", "gy", "z_u8").toPandas()
+        capture["extent"] = prep.extent
+        capture["resolution"] = prep.resolution
     prep.fnd_dsm.unpersist()
     prep.aoi_dsm.unpersist()
     return c, f, out

@@ -51,6 +51,16 @@ def test_cli_register_writes_artifacts_and_resumes(spark, scene):
     assert rec["fine"]["trans_x"] == pytest.approx(-10.0, abs=1.0)
     assert rec["fine"]["trans_z"] == pytest.approx(-1.5, abs=0.5)
     assert os.path.isdir(os.path.join(out_dir, "registered_aoi"))
+    # match-visualization PNG (reference _save_match_img): decodable with
+    # the engine's own codec, side-by-side canvas, green inlier lines
+    from codem_spark.functions import imagecodec
+
+    with open(os.path.join(out_dir, "dsm_feature_matches.png"), "rb") as fh:
+        img, fmt = imagecodec.decode_image(fh.read())
+    assert fmt == "png" and img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[1] > img.shape[0]  # two half-images + gap: wide canvas
+    is_green = (img[:, :, 1] == 255) & (img[:, :, 0] == 0) & (img[:, :, 2] == 0)
+    assert is_green.sum() > 50  # match lines drawn
     # resume: a second invocation must skip the solve (fast, same record)
     t0 = time.time()
     rc = cli.main(

@@ -328,3 +328,40 @@ def test_bandpass_keeps_keypoints_under_big_relief(spark):
         counts[name] = features.extract_features(dsm, EXT, RES).count()
     assert counts["relief"] >= 0.5 * counts["flat"], counts
     assert counts["relief"] > 200, counts
+
+
+def test_render_match_image_geometry_and_lines():
+    """Pure-numpy unit test of the match visualization (reference
+    _save_match_img, dsm.py:276-333): canvas layout, green inlier lines
+    between the planted pair coordinates, red transformed-bbox outline on
+    the foundation half, and gray DSM pixels in both halves."""
+    import pandas as pd
+
+    from codem_spark.registration import viz
+
+    ext = (0.0, 0.0, 100.0, 100.0)
+    res = 10.0  # 10 x 10 px per half
+    cells = pd.DataFrame(
+        {"gx": [1, 2, 3], "gy": [1, 2, 3], "z_u8": [100, 150, 200]}
+    )
+    pairs = pd.DataFrame(
+        {"ax": [15.0, 25.0], "ay": [15.0, 25.0], "az": [0.0, 0.0],
+         "fx": [35.0, 45.0], "fy": [15.0, 25.0], "fz": [0.0, 0.0]}
+    )
+    inl = np.array([True, False])
+    canvas = viz.render_match_image(
+        cells, cells, pairs, inl, np.eye(4), ext, res
+    )
+    assert canvas.shape == (10, 24, 3)  # 10 + 4 gap + 10 wide
+    # gray DSM pixels present in both halves (gy row, gx col; (2,2) is
+    # interior — neither the row-1 match line nor the bbox outline hits it)
+    assert canvas[2, 2, 0] == 150 and canvas[2, 14 + 2, 0] == 150
+    # inlier line endpoints green: aoi (15,15) -> px (1,1) rounds to (1,1);
+    # fnd (35,15) -> px 3 -> col 14+3
+    assert (canvas[1, 1] == (0, 255, 0)).all()
+    assert (canvas[1, 14 + 3] == (0, 255, 0)).all()
+    # the outlier pair's fnd endpoint (45,25) -> px (4,2) col 14+4: NOT green
+    assert not (canvas[2, 14 + 4] == (0, 255, 0)).all()
+    # red outline exists on the foundation half only
+    red = (canvas[:, :, 0] == 255) & (canvas[:, :, 1] == 0) & (canvas[:, :, 2] == 0)
+    assert red[:, 14:].sum() > 0 and red[:, :10].sum() == 0
