@@ -178,3 +178,73 @@ def frame_sample_plan(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") 
         id_col,
         F.posexplode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_index", "_"),
     ).drop("_")
+
+
+def attach_gif_media(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 6, size: int = 16
+) -> DataFrame:
+    """Give each row a REAL (deterministic) animated-GIF payload, encoded
+    in the executors with the from-scratch GIF89a/LZW codec
+    (functions/gifcodec.py) — an id-seeded moving-gradient animation."""
+    from codem_spark.functions import gifcodec
+
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def batches(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf[id_col]:
+                did = int(did)
+                gx, gy = np.meshgrid(np.arange(size), np.arange(size))
+                frames = np.stack(
+                    [((gx * 7 + gy * 3 + k * 11 + did) % 256).astype(np.uint8)
+                     for k in range(n_frames)]
+                )
+                blobs.append(gifcodec.encode_gif(frames))
+            out = pdf.copy()
+            out["video"] = blobs
+            yield out
+
+    return df.mapInPandas(batches, schema=f"{in_fields}, video binary")
+
+
+def decode_video_frames(
+    df: DataFrame, media_col: str = "video", n_sample: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """binary video -> one row per SAMPLED frame (evenly spaced across the
+    animation) with per-frame pixel features — decode once per doc inside
+    the Arrow batch, fan out rows from the same worker (no re-decode per
+    frame, no frame bytes crossing a stage boundary). Output:
+    (id, frame_index, n_frames, features[8] as decode_image_features)."""
+    from codem_spark.functions import gifcodec
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def batches(it):
+        for pdf in it:
+            ids, fidx, nf_col, feats = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[media_col]):
+                frames = gifcodec.decode_gif(bytes(p))
+                nf = len(frames)
+                pick = np.unique(np.linspace(0, nf - 1, min(n_sample, nf)).astype(np.int64))
+                for k in pick:
+                    img = frames[k].astype(np.float64)
+                    gray = img.mean(axis=2)
+                    h, w = gray.shape
+                    gxm = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+                    gym = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+                    ids.append(did)
+                    fidx.append(int(k))
+                    nf_col.append(nf)
+                    feats.append(np.array(
+                        [w, h, 3, img.mean(), img.std(), img.min(), img.max(),
+                         0.5 * (gxm + gym)]
+                    ))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_index": fidx, "n_frames": nf_col, "features": feats}
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=f"{id_col} {id_type}, frame_index int, n_frames int, features array<double>",
+    )

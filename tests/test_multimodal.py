@@ -121,3 +121,54 @@ def test_audio_decode_distributed_matches_numpy_oracle(spark):
         # sanity: duration and rate decode to the planted values
         assert abs(got[0] - 2048 / 16_000) < 1e-12
         assert got[1] == 16_000.0 and got[2] == 1.0
+
+
+def test_gif_codec_roundtrip_exact():
+    """From-scratch GIF89a/LZW codec: gray frames roundtrip bit-exact
+    (including the 4096-code LZW table-reset path); RGB maps through the
+    integer luma onto the gray palette."""
+    import numpy as np
+
+    from codem_spark.functions import gifcodec
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (5, 17, 23), dtype=np.uint8)
+    back = gifcodec.decode_gif(gifcodec.encode_gif(frames))
+    assert back.shape == (5, 17, 23, 3)
+    assert (back[..., 0] == frames).all() and (back[..., 2] == frames).all()
+    big = rng.integers(0, 256, (1, 200, 300), dtype=np.uint8)  # forces LZW reset
+    assert (gifcodec.decode_gif(gifcodec.encode_gif(big))[0, :, :, 0] == big[0]).all()
+    rgb = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    luma = ((rgb.astype(np.int64)[..., 0] * 299 + rgb.astype(np.int64)[..., 1] * 587
+             + rgb.astype(np.int64)[..., 2] * 114) // 1000).astype(np.uint8)
+    assert (gifcodec.decode_gif(gifcodec.encode_gif(rgb))[..., 1] == luma).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gifcodec.decode_gif(b"JPEGnope")
+
+
+def test_video_frame_decode_distributed_matches_numpy_oracle(spark):
+    """Real video path: id-seeded animated GIFs encoded in the executors,
+    decoded once per doc, fanned out to one row per sampled frame;
+    features matched against a driver-side numpy oracle."""
+    import numpy as np
+
+    from codem_spark.functions import gifcodec
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = multimodal.attach_gif_media(docs, n_frames=6, size=16)
+    rows = multimodal.decode_video_frames(media, n_sample=3)
+    pdf = rows.toPandas().sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
+    # 3 evenly spaced of 6 frames -> indices {0, 2, 5} per doc
+    assert len(pdf) == 60
+    assert (pdf.n_frames == 6).all()
+    assert sorted(pdf.frame_index.unique()) == [0, 2, 5]
+    for did, k, f in zip(pdf.doc_id, pdf.frame_index, pdf.features):
+        gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+        gray8 = ((gx * 7 + gy * 3 + int(k) * 11 + int(did)) % 256).astype(np.uint8)
+        img = np.repeat(gray8[:, :, None], 3, axis=2).astype(np.float64)
+        g = img.mean(axis=2)
+        expect = [16, 16, 3, img.mean(), img.std(), img.min(), img.max(),
+                  0.5 * (np.abs(np.diff(g, axis=1)).mean() + np.abs(np.diff(g, axis=0)).mean())]
+        assert np.allclose(list(f), expect, atol=1e-12), (did, k)
