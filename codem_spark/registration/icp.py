@@ -271,12 +271,10 @@ def fine_registration(
     fixed_tiled.count()
     fixed_n.unpersist(False)
 
-    alpha, tau = 2.0, 0.6  # reference icp.py:128-130
+    alpha = 2.0  # IRLS shape, decays by 0.2/iter (reference icp.py:128-131,151)
     n_iters = 0
     beta = resolution / 2.0 + 0.5
     prev_rmse = None
-    prev_angles = None
-    prev_t = None
     n_pairs = 0
     rmse = (0.0, 0.0, 0.0, 0.0)
     t_c = demean @ t_total @ remean  # work in centered frame
