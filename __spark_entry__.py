@@ -203,6 +203,34 @@ def _q_union_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select("event_id").unionByName(b.select("event_id")).distinct()
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-dedup URL canonicalization (pure JVM column exprs, no UDF):
+    four deterministic per-doc URL variants (case noise, default port,
+    fragment, tracking params, shuffled param order) must collapse to ONE
+    canonical form per base id — group counts land at exactly 4. The
+    DuckDB oracle runs the list-function twin (canonical_url_sql)."""
+    from codem_spark.functions import text as text_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    b = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    host = F.concat(F.lit("ExAmple"), F.pmod(b, F.lit(50)).cast("string"), F.lit(".CoM"))
+    path = F.concat(F.lit("/page/"), b.cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, path, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80"), path,
+                               F.lit("?a=1&utm_source=x&b=2#frag")))
+        .when(v == 2, F.concat(F.lit("http://"), F.lower(host), path,
+                               F.lit("?a=1&b=2&gclid=zz")))
+        .otherwise(F.concat(F.lit("http://"), host, path, F.lit("?a=1&b=2")))
+    )
+    return (
+        docs.select(text_mod.canonical_url_col(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codem_spark.operators import dedup
 
@@ -1016,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elm_noise": _q_elm_noise,
         "union_filters": _q_union_filters,
         "exact_dedup": _q_exact_dedup,
+        "url_canonical": _q_url_canonical,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_count": _q_token_count,
         "cosine_topk": _q_cosine_topk,
@@ -1041,6 +1070,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_registration": _q_registration,
         "fine_registration": _q_fine_registration,
     }
+
+
+def _url_canonical_oracle_sql() -> str:
+    from codem_spark.functions.text import canonical_url_sql
+
+    return f"""
+        WITH hp AS (
+          SELECT doc_id,
+                 'ExAmple' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.CoM' AS host,
+                 '/page/' || CAST(doc_id // 4 AS VARCHAR) AS path
+          FROM documents
+        ),
+        u AS (
+          SELECT CASE doc_id % 4
+            WHEN 0 THEN 'http://' || host || path || '?b=2&a=1'
+            WHEN 1 THEN 'HTTP://' || upper(host) || ':80' || path || '?a=1&utm_source=x&b=2#frag'
+            WHEN 2 THEN 'http://' || lower(host) || path || '?a=1&b=2&gclid=zz'
+            ELSE 'http://' || host || path || '?a=1&b=2' END AS url
+          FROM hp
+        )
+        SELECT {canonical_url_sql('url')} AS canonical_url, count(*) AS n
+        FROM u GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1144,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
                    count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents GROUP BY 1""",
+        "url_canonical": _url_canonical_oracle_sql(),
         "ngram_jaccard": """
             WITH w AS (
               SELECT doc_id,

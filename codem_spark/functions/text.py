@@ -132,3 +132,72 @@ def fingerprint_col(text: Column, modulus: int = 1_000_000_007) -> Column:
 
 def normalized_text_col(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+#: query params dropped by canonical_url_col (tracking noise)
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=", "ref=")
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Web-dedup URL canonicalization, pure JVM column expressions (stays
+    inside whole-stage codegen — no UDF):
+
+    - drop the fragment (``#...``)
+    - lowercase scheme and authority (path/query case is preserved)
+    - strip default ports (``http://h:80`` / ``https://h:443``)
+    - drop tracking query params (utm_*, fbclid, gclid, msclkid, ref)
+    - sort surviving query params and rejoin (param order never
+      distinguishes documents)
+    - drop an empty ``?`` and reduce a bare ``/`` root path to none
+
+    The exact rule set is the usual crawl-dedup normalization (canonical
+    form is for GROUPING, not for fetching)."""
+    u = F.split(url, "#", 2).getItem(0)
+    base = F.split(u, r"\?", 2).getItem(0)
+    # F.get, not getItem: a URL without '?' yields a 1-element split and
+    # ANSI mode makes out-of-range getItem THROW instead of returning null
+    query = F.get(F.split(u, r"\?", 2), 1)
+    auth = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    rest = F.substring(base, F.length(auth) + F.lit(1), F.lit(1_000_000))
+    auth = F.lower(auth)
+    auth = F.regexp_replace(auth, r"^(http://[^/:]+):80$", "$1")
+    auth = F.regexp_replace(auth, r"^(https://[^/:]+):443$", "$1")
+    path = F.when(rest == "/", F.lit("")).otherwise(rest)
+
+    def _keep(p: Column) -> Column:
+        cond = p == ""
+        for pref in _TRACKING_PREFIXES:
+            cond = cond | p.startswith(pref)
+        return ~cond
+
+    params = F.array_sort(F.filter(F.split(F.coalesce(query, F.lit("")), "&"), _keep))
+    qstr = F.array_join(params, "&")
+    return F.concat(
+        auth, path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url_col` (oracle parity)."""
+    keep = " AND ".join(
+        ["p <> ''"] + [f"NOT starts_with(p, '{pref}')" for pref in _TRACKING_PREFIXES]
+    )
+    u = f"str_split({expr}, '#')[1]"
+    base = f"str_split({u}, '?')[1]"
+    query = f"CASE WHEN len(str_split({u}, '?')) > 1 THEN str_split({u}, '?')[2] ELSE '' END"
+    auth = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)"
+    rest = f"substring({base}, length({auth}) + 1)"
+    lauth = (
+        f"regexp_replace(regexp_replace(lower({auth}), '^(http://[^/:]+):80$', '\\1'),"
+        f" '^(https://[^/:]+):443$', '\\1')"
+    )
+    path = f"CASE WHEN {rest} = '/' THEN '' ELSE {rest} END"
+    qstr = (
+        f"array_to_string(list_sort(list_filter(str_split({query}, '&'),"
+        f" p -> {keep})), '&')"
+    )
+    return (
+        f"concat({lauth}, {path}, CASE WHEN {qstr} <> '' THEN concat('?', {qstr})"
+        f" ELSE '' END)"
+    )

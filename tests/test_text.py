@@ -68,3 +68,37 @@ def test_quality_and_fingerprint_deterministic(spark):
     assert (q1.sort_values("doc_id").q.values == q2.sort_values("doc_id").q.values).all()
     f1 = docs.select(text.fingerprint_col(F.col("text")).alias("f")).toPandas()
     assert f1.f.between(0, 1_000_000_006).all()
+
+
+def test_canonical_url_col_rules(spark):
+    """Web-dedup URL canonicalization: case, default ports, fragments,
+    tracking params, param order — and the DuckDB twin agrees exactly."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from codem_spark.functions import text as T
+
+    urls = [
+        "http://ExAmple3.com/page/7?b=2&a=1",
+        "HTTP://EXAMPLE3.COM:80/page/7?a=1&utm_source=x&b=2#frag",
+        "https://Host.Org:443/",
+        "https://host.org/",
+        "http://a.com/path/?gclid=zz",
+        "http://a.com/x?fbclid=1&ref=home",
+        "http://b.com:8080/y?z=1",  # non-default port preserved
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = [r["c"] for r in df.select(T.canonical_url_col(F.col("url")).alias("c")).collect()]
+    assert got[0] == got[1] == "http://example3.com/page/7?a=1&b=2"
+    assert got[2] == got[3] == "https://host.org"
+    assert got[4] == "http://a.com/path/"
+    assert got[5] == "http://a.com/x"
+    assert got[6] == "http://b.com:8080/y?z=1"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls}))
+    oracle = con.sql(f"SELECT {T.canonical_url_sql('url')} AS c FROM t").df()["c"].tolist()
+    assert got == oracle
+    # JVM-only: the expression must not plan any Python eval node
+    plan = df.select(T.canonical_url_col(F.col("url")).alias("c"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
