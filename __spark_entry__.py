@@ -427,7 +427,10 @@ def _q_tpch_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codem_spark.operators import grid
 
-    pts = _points(spark, sf_dir)
+    # persist: the exact-percentile pass and the quantized output both
+    # consume the scan+distinct chain — cache it for the query's duration
+    # (the bench clears caches between queries; nothing survives the run)
+    pts = _points(spark, sf_dir).select("pid", "z").persist()
     return grid.quantize_normalize(pts, "z", exact=True).select("pid", "z_u8")
 
 

@@ -290,6 +290,150 @@ def clip_bbox(df: DataFrame, bbox: tuple[float, float, float, float], x: str = "
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    probs: "list[float]",
+    bins: int = 8192,
+    collect_cap: int = 262_144,
+    max_rounds: int = 8,
+) -> "list[float]":
+    """Exact percentiles (Spark ``percentile()`` / DuckDB ``quantile_cont``
+    semantics, bit-for-bit) via distributed histogram refinement.
+
+    Spark's built-in exact ``percentile`` aggregate buffers EVERY distinct
+    value in a per-partition OpenHashMap and sorts the merged multiset on
+    one reducer — measured 1.8-4.5 s alone on a 600k-row column at sf0.1
+    (the whole quantize query's dominant cost), and at 10^12 rows the
+    single-reducer sort is a scale wall. This routine keeps exactness with
+    map-side-combinable work only (guide §2.3 "aggregate before you
+    shuffle"):
+
+    1. one agg: count / min / max;
+    2. per round: an integer histogram over the active range (groupBy of a
+       bounded bucket id — tiny shuffle), locating the bucket holding each
+       needed order statistic;
+    3. when the values containing the needed order stats number
+       <= ``collect_cap``, collect just those and take the order stats
+       exactly; otherwise narrow the range and repeat (value-skewed data
+       terminates via the degenerate-range shortcut).
+
+    Interpolation mirrors Percentile.scala exactly
+    (``position = p*(n-1)``; ``lowerValue*(higher-position) +
+    higherValue*(position-lower)``) so results are interchangeable with the
+    built-in aggregate — asserted in tests/test_grid.py.
+
+    The input is persisted for the duration (2-3 passes over one projected
+    column; MEMORY_AND_DISK, released before returning). Callers that
+    already persist ``df`` pay nothing extra.
+    """
+    vals = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    vals = vals.persist()
+    try:
+        r = vals.agg(
+            F.count("_v").alias("n"), F.min("_v").alias("lo"), F.max("_v").alias("hi")
+        ).collect()[0]
+        n = int(r["n"])
+        if n == 0:
+            return [float("nan")] * len(probs)
+        glo, ghi = float(r["lo"]), float(r["hi"])
+        positions = [p * (n - 1) for p in probs]
+        needed = sorted(
+            {int(math.floor(pos)) for pos in positions}
+            | {int(math.ceil(pos)) for pos in positions}
+        )
+        import numpy as np
+
+        stats: dict[int, float] = {}
+
+        def _collect_ranges(terminal) -> None:
+            # ONE collect job for every terminal range of this round
+            pred = None
+            for lo, hi, _base, _cnt, _idxs in terminal:
+                p_ = (F.col("_v") >= lo) & (F.col("_v") <= hi)
+                pred = p_ if pred is None else (pred | p_)
+            arr = np.sort(
+                np.array(
+                    [row["_v"] for row in vals.filter(pred).collect()],
+                    dtype=np.float64,
+                )
+            )
+            for lo, hi, base, _cnt, idxs in terminal:
+                seg = arr[(arr >= lo) & (arr <= hi)]
+                for i in idxs:
+                    stats[i] = float(seg[i - base])
+
+        # active ranges: (value_lo, value_hi, rank_of_first_value_in_range,
+        # count_in_range, indices needing resolution inside)
+        ranges = [(glo, ghi, 0, n, needed)]
+        for round_no in range(max_rounds + 1):
+            if not ranges:
+                break
+            terminal, refine = [], []
+            for rng_ in ranges:
+                lo, hi, base, cnt, idxs = rng_
+                if lo == hi:
+                    for i in idxs:
+                        stats[i] = lo
+                elif cnt <= collect_cap or round_no == max_rounds:
+                    terminal.append(rng_)
+                else:
+                    refine.append(rng_)
+            if terminal:
+                _collect_ranges(terminal)
+            nxt = []
+            for lo, hi, base, cnt, idxs in refine:
+                width = hi - lo
+                b = F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("_v") - F.lit(lo)) / F.lit(width) * F.lit(bins)
+                    ).cast("int"),
+                )
+                hist = (
+                    vals.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
+                    .groupBy(b.alias("_b"))
+                    .agg(
+                        F.count("*").alias("_c"),
+                        F.min("_v").alias("_lo"),
+                        F.max("_v").alias("_hi"),
+                    )
+                    .collect()
+                )
+                hist.sort(key=lambda row: row["_b"])
+                cum = base
+                bucket_meta = {}
+                for row in hist:
+                    bucket_meta[row["_b"]] = (
+                        cum, int(row["_c"]), float(row["_lo"]), float(row["_hi"]),
+                    )
+                    cum += int(row["_c"])
+                by_bucket: dict[int, list[int]] = {}
+                for i in idxs:
+                    for bid, (first, c, _blo, _bhi) in bucket_meta.items():
+                        if first <= i < first + c:
+                            by_bucket.setdefault(bid, []).append(i)
+                            break
+                for bid, bidx in by_bucket.items():
+                    first, c, blo, bhi = bucket_meta[bid]
+                    nxt.append((blo, bhi, first, c, bidx))
+            ranges = nxt
+        out = []
+        for pos in positions:
+            lower, higher = int(math.floor(pos)), int(math.ceil(pos))
+            if lower == higher:
+                out.append(stats[lower])
+            else:
+                out.append(
+                    stats[lower] * (higher - pos) + stats[higher] * (pos - lower)
+                )
+        return out
+    finally:
+        vals.unpersist(False)
+
+
 def quantize_normalize(
     df: DataFrame, col: str = "z", lo_q: float = 0.01, hi_q: float = 0.99, exact: bool = False,
     bounds: "tuple[float, float] | None" = None,
@@ -304,11 +448,10 @@ def quantize_normalize(
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
     elif exact:
-        qs = df.agg(
-            F.expr(f"percentile({col}, {lo_q})").alias("lo"),
-            F.expr(f"percentile({col}, {hi_q})").alias("hi"),
-        ).collect()[0]
-        lo, hi = float(qs["lo"]), float(qs["hi"])
+        # histogram-refined exact percentiles: identical values to the
+        # built-in percentile() aggregate (asserted in tests) at a fraction
+        # of its cost — see exact_percentiles
+        lo, hi = exact_percentiles(df, col, [lo_q, hi_q])
     else:
         lo, hi = df.approxQuantile(col, [lo_q, hi_q], 0.001)
     rng = max(hi - lo, 1e-12)

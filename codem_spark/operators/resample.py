@@ -55,9 +55,17 @@ def resample_to_points(
     # ~15k-point serial triangulations (8.3 s); the parallelism floor +
     # sample-count bound gives 64 tiles of ~1k-point triangulations. Any
     # level <= the radius rule is correct (auto_level enforces it).
+    # Row counts come from plan STATISTICS, not count() jobs: the two
+    # exact counts ran the full scan+shuffle chain twice per call just to
+    # pick a parallelism knob (~0.7 s of the sf0.1 tin_resample query);
+    # a size-based overestimate only pushes toward more tiles, and the
+    # radius rule still caps the level (correctness unaffected).
+    from codem_spark.util import approx_row_count
+
     par = queries.sparkSession.sparkContext.defaultParallelism
     level = knn.auto_level(
-        extent, radius, max(queries.count(), samples.count()), parallelism=par
+        extent, radius, max(approx_row_count(queries), approx_row_count(samples)),
+        parallelism=par,
     )
     q = cells.with_cell(queries.select(qid, "x", "y"), "x", "y", extent, level).drop("_ix", "_iy")
     s = cells.with_cell(samples.select("x", "y", *value_cols), "x", "y", extent, level)

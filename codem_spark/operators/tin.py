@@ -49,7 +49,17 @@ def _circumcircles(pts: np.ndarray, tris: np.ndarray) -> tuple[np.ndarray, np.nd
 def delaunay_np(p: np.ndarray) -> np.ndarray:
     """Bowyer-Watson Delaunay triangulation of 2D points.
     Returns (n_tri, 3) vertex-index triangles. Duplicate points must be
-    deduplicated by the caller."""
+    deduplicated by the caller.
+
+    Storage is slot-based (optimization round r6): triangles live in
+    preallocated capacity-doubled arrays with an ``alive`` mask, compacted
+    only when the dead fraction passes 1/2 — the previous formulation
+    rebuilt tris/cc/r2 with vstack + boolean indexing on EVERY insertion
+    (O(T) fresh allocations x n insertions dominated the per-tile TIN
+    kernel; measured ~2 s for a 2.7k-sample tile at sf0.1). Insertion
+    order, predicates and arithmetic are unchanged, so the triangle SET is
+    identical; only the output row order differs (it was
+    insertion-history-dependent before too)."""
     n = len(p)
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
@@ -60,15 +70,33 @@ def delaunay_np(p: np.ndarray) -> np.ndarray:
     m = max(hi[0] - lo[0], hi[1] - lo[1], 1e-9) * 64.0
     sup = np.array([[c[0] - m, c[1] - m], [c[0] + m, c[1] - m], [c[0], c[1] + m]])
     pts = np.vstack([p, sup])
-    tris = np.array([[n, n + 1, n + 2]], dtype=np.int64)
-    cc, r2 = _circumcircles(pts, tris)
+
+    cap = max(64, 4 * n)
+    tris = np.zeros((cap, 3), dtype=np.int64)
+    ccx = np.zeros(cap)
+    ccy = np.zeros(cap)
+    r2a = np.full(cap, -1.0)  # dead slots: r2 < 0 never matches the test
+    alive = np.zeros(cap, dtype=bool)
+    tris[0] = (n, n + 1, n + 2)
+    cc0, r20 = _circumcircles(pts, tris[:1])
+    ccx[0], ccy[0] = cc0[0, 0], cc0[0, 1]
+    r2a[0] = r20[0]
+    alive[0] = True
+    hi_slot = 1
+    n_alive = 1
+
     for i in range(n):
         q = pts[i]
-        bad = ((q - cc) ** 2).sum(1) <= r2 * (1.0 + 1e-12)
-        if not bad.any():
+        dx = q[0] - ccx[:hi_slot]
+        dy = q[1] - ccy[:hi_slot]
+        # dead slots carry r2 = -1, so they fail the containment test
+        # without a separate mask pass
+        bad = dx * dx + dy * dy <= r2a[:hi_slot] * (1.0 + 1e-12)
+        idx = np.flatnonzero(bad)
+        if idx.size == 0:
             # numerically possible on near-degenerate input: skip the point
             continue
-        bt = tris[bad]
+        bt = tris[idx]
         # cavity boundary = edges of bad triangles that appear exactly once
         e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
         e_sorted = np.sort(e, axis=1)
@@ -77,20 +105,51 @@ def delaunay_np(p: np.ndarray) -> np.ndarray:
         ks = key[order]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
-        # count occurrences per unique key
         idx_first = np.flatnonzero(first)
         counts = np.diff(np.append(idx_first, len(ks)))
         singles = idx_first[counts == 1]
         boundary = e[order[singles]]  # original orientation of the lone edge
-        new_tris = np.column_stack(
-            [boundary[:, 0], boundary[:, 1], np.full(len(boundary), i, dtype=np.int64)]
-        )
-        tris = np.vstack([tris[~bad], new_tris])
-        ncc, nr2 = _circumcircles(pts, new_tris)
-        cc = np.vstack([cc[~bad], ncc])
-        r2 = np.concatenate([r2[~bad], nr2])
-    keep = (tris < n).all(axis=1)
-    return tris[keep]
+        nb = len(boundary)
+        alive[idx] = False
+        r2a[idx] = -1.0
+        n_alive -= idx.size
+        if hi_slot + nb > cap:
+            new_cap = max(2 * cap, hi_slot + nb)
+            tris = np.resize(tris, (new_cap, 3))
+            ccx = np.resize(ccx, new_cap)
+            ccy = np.resize(ccy, new_cap)
+            r2n = np.full(new_cap, -1.0)
+            r2n[:cap] = r2a
+            r2a = r2n
+            al = np.zeros(new_cap, dtype=bool)
+            al[:cap] = alive
+            alive = al
+            cap = new_cap
+        sl = slice(hi_slot, hi_slot + nb)
+        tris[sl, 0] = boundary[:, 0]
+        tris[sl, 1] = boundary[:, 1]
+        tris[sl, 2] = i
+        ncc, nr2 = _circumcircles(pts, tris[sl])
+        ccx[sl] = ncc[:, 0]
+        ccy[sl] = ncc[:, 1]
+        r2a[sl] = nr2
+        alive[sl] = True
+        hi_slot += nb
+        n_alive += nb
+        if hi_slot > 2 * n_alive and hi_slot > 1024:
+            keep_idx = np.flatnonzero(alive[:hi_slot])
+            k = len(keep_idx)
+            tris[:k] = tris[keep_idx]
+            ccx[:k] = ccx[keep_idx]
+            ccy[:k] = ccy[keep_idx]
+            r2a[:k] = r2a[keep_idx]
+            alive[:hi_slot] = False
+            alive[:k] = True
+            r2a[k:hi_slot] = -1.0
+            hi_slot = k
+    out = tris[np.flatnonzero(alive[:hi_slot])]
+    keep = (out < n).all(axis=1)
+    return out[keep]
 
 
 def tin_interpolate_np(

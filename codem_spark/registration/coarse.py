@@ -214,6 +214,77 @@ def umeyama(src: np.ndarray, dst: np.ndarray, solve_scale: bool = True) -> np.nd
     return m4
 
 
+def _ransac_consensus_batch(
+    src: np.ndarray,
+    dst: np.ndarray,
+    samples: np.ndarray,
+    threshold: float,
+    min_samples: int,
+    solve_scale: bool,
+    chunk: int = 512,
+) -> tuple[int, "np.ndarray | None"]:
+    """Batched RANSAC consensus search: for every 3-point sample, the
+    umeyama similarity (stacked SVD) and its inlier count over all pairs;
+    returns (best_count, inlier mask of the FIRST best trial). Trials with
+    duplicate sample indices count -1 (the loop skipped them)."""
+    trials = len(samples)
+    eps = np.finfo(np.float64).eps
+    best_count = -1
+    best_inliers: np.ndarray | None = None
+    for lo in range(0, trials, chunk):
+        sl = samples[lo : lo + chunk]
+        t = len(sl)
+        s3 = src[sl]  # (t, 3, 3)
+        d3 = dst[sl]
+        valid = (
+            (sl[:, 0] != sl[:, 1]) & (sl[:, 0] != sl[:, 2]) & (sl[:, 1] != sl[:, 2])
+        )
+        mu_s = s3.mean(axis=1)  # (t, 3)
+        mu_d = d3.mean(axis=1)
+        ss = s3 - mu_s[:, None, :]
+        ds = d3 - mu_d[:, None, :]
+        cov = np.einsum("tki,tkj->tij", ds, ss) / min_samples  # (t, 3, 3)
+        try:
+            u, s, vt = np.linalg.svd(cov)
+        except np.linalg.LinAlgError:
+            # fall back: mark the whole chunk invalid except loop-solvable
+            for i in range(t):
+                if not valid[i]:
+                    continue
+                try:
+                    u1, s1, vt1 = np.linalg.svd(cov[i])
+                except np.linalg.LinAlgError:
+                    valid[i] = False
+            u, s, vt = np.linalg.svd(np.where(valid[:, None, None], cov, np.eye(3)))
+        det_cov = np.linalg.det(cov)
+        det_uvt = np.linalg.det(u) * np.linalg.det(vt)
+        # numpy matrix_rank default tolerance: s.max() * max(M, N) * eps
+        rank = (s > (s[:, :1] * 3 * eps)).sum(axis=1)
+        d = np.ones((t, 3))
+        flip = (det_cov < 0) | ((rank == 2) & (det_uvt < 0))
+        d[flip, 2] = -1.0
+        r = np.einsum("tij,tj,tjk->tik", u, d, vt)  # u @ diag(d) @ vt
+        if solve_scale:
+            var_src = ss.var(axis=1).sum(axis=1)  # (t,)
+            c = (s * d).sum(axis=1) / np.maximum(var_src, 1e-300)
+        else:
+            c = np.ones(t)
+        tv = mu_d - c[:, None] * np.einsum("tij,tj->ti", r, mu_s)
+        # residuals of ALL pairs under every trial's transform (degenerate
+        # trials can overflow to inf — masked out by the finite check)
+        with np.errstate(over="ignore", invalid="ignore"):
+            proj = c[:, None, None] * np.einsum("nj,tij->tni", src, r) + tv[:, None, :]
+            res2 = ((proj - dst[None, :, :]) ** 2).sum(axis=2)  # (t, n)
+        inl = res2 < threshold * threshold
+        finite = np.isfinite(res2).all(axis=1)
+        cnt = np.where(valid & finite, inl.sum(axis=1), -1)
+        ci = int(np.argmax(cnt))
+        if cnt[ci] > best_count:
+            best_count = int(cnt[ci])
+            best_inliers = inl[ci]
+    return best_count, best_inliers
+
+
 def ransac_similarity(
     pairs: pd.DataFrame,
     threshold: float = 10.0,
@@ -231,24 +302,18 @@ def ransac_similarity(
     if n < min_samples:
         raise ValueError(f"not enough putative matches for RANSAC: {n}")
     rng = np.random.default_rng(seed)
-    best_inliers: np.ndarray | None = None
-    best_count = -1
     trials = min(max_iter, 4 * n * n if n < 50 else max_iter)
     samples = rng.integers(0, n, size=(trials, min_samples))
-    for si in range(trials):
-        idx = samples[si]
-        if len(np.unique(idx)) < min_samples:
-            continue
-        try:
-            m = umeyama(src[idx], dst[idx], solve_scale)
-        except np.linalg.LinAlgError:
-            continue
-        res = np.linalg.norm(src @ m[:3, :3].T + m[:3, 3] - dst, axis=1)
-        inl = res < threshold
-        cnt = int(inl.sum())
-        if cnt > best_count:
-            best_count = cnt
-            best_inliers = inl
+    # Vectorized trial loop (optimization round r6): the per-trial Python
+    # loop (3-point umeyama + residual scan per trial) measured 1.25 s of
+    # driver-serial time per coarse solve at 10^4 trials. All trials now run
+    # as ONE batched pipeline — stacked 3x3 SVD, batched consensus counts —
+    # with identical sampling (same seeded draw), the same duplicate-index
+    # skip, numpy's own matrix_rank tolerance, and first-maximum selection
+    # exactly like the loop's strict '>' update rule.
+    best_count, best_inliers = _ransac_consensus_batch(
+        src, dst, samples, threshold, min_samples, solve_scale
+    )
     if best_inliers is None or best_count < min_samples:
         raise ValueError("RANSAC failed to find a consensus set")
     m = umeyama(src[best_inliers], dst[best_inliers], solve_scale)
