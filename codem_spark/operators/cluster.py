@@ -63,8 +63,9 @@ def _tile_union_find(tolerance: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         pids = pdf["pid"].to_numpy()
+        cols = ["pid", "label", "x", "y", "z", "is_border"]
         if n == 0:
-            return pd.DataFrame({"pid": [], "label": []})
+            return pd.DataFrame({c: [] for c in cols})
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
         # within-tolerance pairs via the shared grid-hash radius kernel
         # (linear in candidate volume); then vectorized component labels —
@@ -72,10 +73,24 @@ def _tile_union_find(tolerance: float):
         li, ri, _d, _rk = knn.grid_topk(pts, pts, np.arange(n), tolerance, k=None)
         m = li != ri
         roots = components_np(n, li[m], ri[m])
-        # tile-local label = min pid in component (globally meaningful seed)
+        # tile-local label = min pid in component (globally meaningful seed).
+        # Coordinates and the border flag ride along so the cross-tile edge
+        # join can run DIRECTLY on labeled border rows — the old plan joined
+        # the full label table back onto the edge endpoints, two full-table
+        # shuffles per run (guide §8: carry the small annotation with the
+        # row instead of joining it back later).
         comp_min = np.full(n, np.iinfo(np.int64).max)
         np.minimum.at(comp_min, roots, pids.astype(np.int64))
-        return pd.DataFrame({"pid": pids, "label": comp_min[roots]})
+        return pd.DataFrame(
+            {
+                "pid": pids,
+                "label": comp_min[roots],
+                "x": pts[:, 0],
+                "y": pts[:, 1],
+                "z": pts[:, 2],
+                "is_border": pdf["_border"].to_numpy(),
+            }
+        )
 
     return kernel
 
@@ -91,57 +106,71 @@ def euclidean_cluster(
     """points(pid, x, y, z) -> (pid, cluster_id); cluster_id = min pid of the
     cluster, or -1 for clusters smaller than min_points."""
     # consumed three times below (tiling, both radius-join sides): persist so
-    # an expensive upstream (e.g. a kNN-dZ output) is not recomputed
+    # an expensive upstream (e.g. a kNN-dZ output) is not recomputed; the
+    # cache materializes inside the first real job (the label checkpoint)
+    # instead of via a dedicated count() — n_points only feeds parallelism
+    # and capacity knobs, where a plan-statistics estimate is enough (an
+    # overestimate errs toward more tiles / the shuffle join, both correct)
+    from codem_spark.util import approx_row_count
+
     points = points.select("pid", "x", "y", "z").persist()
     par = points.sparkSession.sparkContext.defaultParallelism
-    n_points = points.count()
+    n_points = approx_row_count(points)
     level = knn.auto_level(extent, tolerance, n_points, parallelism=par)
     tiled = cells.with_cell(points.select("pid", "x", "y", "z"), "x", "y", extent, level)
+    # border-band membership is decided BEFORE the kernel (same predicate
+    # as cells.border_band) and carried through it, so the labeled frame
+    # already knows which rows can participate in cross-tile edges
+    size = cells.cell_size(extent, level)
+    fx = F.col("x") - (F.col("_ix").cast("double") * F.lit(size) + F.lit(extent[0]))
+    fy = F.col("y") - (F.col("_iy").cast("double") * F.lit(size) + F.lit(extent[1]))
+    rtol = F.lit(float(tolerance))
+    border_pred = (
+        (fx <= rtol) | ((F.lit(size) - fx) <= rtol)
+        | (fy <= rtol) | ((F.lit(size) - fy) <= rtol)
+    )
     local = (
-        tiled.drop("_ix", "_iy")
+        tiled.withColumn("_border", border_pred)
+        .drop("_ix", "_iy")
         .groupBy("cell_id")
         .applyInPandas(
             lambda _k, pdf: _tile_union_find(tolerance)(pdf),
-            schema="pid long, label long",
+            schema="pid long, label long, x double, y double, z double, is_border boolean",
         )
     )
+    labeled = local.localCheckpoint(eager=True)
+    labels = labeled.select("pid", "label")
     # cross-tile edges ONLY: intra-tile connectivity is already resolved by
     # the kernel above, so (a) both radius-join sides pre-filter to the
     # border band (points within tolerance of a tile border — everything
     # deeper cannot form a cross-tile pair) and (b) the join keeps only
     # pairs whose endpoints live in different tiles. A dense m-point blob in
-    # a tile interior now contributes ZERO edge rows (was ~m²); symmetrize
-    # so min-labels flow both directions during propagation.
-    border = cells.border_band(tiled, extent, level, tolerance).select(
-        "pid", "x", "y", "z"
+    # a tile interior now contributes ZERO edge rows (was ~m²).
+    # Two-level connected components: contract the point graph to LABEL
+    # edges — the radius join runs on LABELED border rows, so each
+    # within-tolerance cross-tile pair emits its (label_a, label_b) edge
+    # directly. (The previous plan joined the 600k-row label table onto the
+    # edge endpoints — two full-table shuffles to annotate a few thousand
+    # edges, because the cogroup outputs carry no size statistics and never
+    # auto-broadcast.) Distinct label pairs are orders of magnitude fewer
+    # than points, so the iterative part of CC runs on the contracted
+    # graph, never on the 10^12-row point set.
+    border = labeled.filter(F.col("is_border")).select(
+        F.col("label").alias("lab"), "x", "y", "z"
     )
-    half = (
+    ledges = (
         knn.radius_join(
             border,
             border,
             extent,
             radius=tolerance,
-            lid="pid",
-            rid="pid",
+            lid="lab",
+            rid="lab",
             level=level,
             cross_tile_only=True,
         )
-        .filter(F.col("pid") < F.col("n_pid"))
-        .select(F.col("pid").alias("a"), F.col("n_pid").alias("b"))
-    )
-    labels = local.select("pid", "label").localCheckpoint(eager=True)
-    # Two-level connected components: contract the point graph to LABEL
-    # edges. Each spatial cross-tile edge (a, b) becomes (label_a, label_b);
-    # distinct label pairs are orders of magnitude fewer than points (only
-    # border-band components appear at all), so the iterative part of CC
-    # runs on the contracted graph, never on the 10^12-row point set.
-    la = labels.withColumnsRenamed({"pid": "a", "label": "la"})
-    lb = labels.withColumnsRenamed({"pid": "b", "label": "lb"})
-    ledges = (
-        half.join(la, "a")
-        .join(lb, "b")
-        .filter(F.col("la") != F.col("lb"))
-        .select("la", "lb")
+        .filter(F.col("lab") != F.col("n_lab"))
+        .select(F.col("lab").alias("la"), F.col("n_lab").alias("lb"))
         .distinct()
     )
     # Capacity switch, like the brute-force->LSH descriptor-match switch

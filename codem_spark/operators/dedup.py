@@ -340,20 +340,25 @@ def minhash_lsh_candidates(
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
     Standard MinHash banding: docs sharing any full band collide; buckets
     above ``bucket_cap`` fall back to star pairs (see _bucket_pairs)."""
+    src = df
     df = rebalance(df)
-    keys = df.select(
-        F.col(id_col).alias("did"),
-        minhash_band_keys_col(
-            shingles_col(F.col(text_col), shingle_n), num_hashes, bands
-        ).alias("bkeys"),
+    # Shingles are materialized ONCE and shared with the verify stage
+    # (optimization round r6): candidates need the banded minhash keys OF
+    # the shingles, verification needs the shingle sets themselves, and the
+    # two stages previously each ran the full normalize+tokenize+n-gram UDF
+    # pass over the corpus. The persisted shingle frame rides along on the
+    # returned DataFrame (same plumbing as the hot-bucket probe) and
+    # jaccard_verify picks it up only when handed the SAME source frame.
+    sh_frame = df.select(
+        F.col(id_col).alias("did"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    ).persist()
+    keys = sh_frame.select(
+        "did", minhash_band_keys_col(F.col("sh"), num_hashes, bands).alias("bkeys")
     )
-    # single consumer now (_bucket_pairs is one groupBy) — no persist: the
-    # signature UDF streams straight into the banding shuffle. The lineage
-    # probe (hot_bucket_stats via run_stage) recomputes the signatures when
-    # a stage manifest asks for truncation stats; that observability pass is
-    # opt-in and off the hot path.
     banded = keys.select("did", F.posexplode("bkeys").alias("band", "bkey"))
-    return _bucket_pairs(banded, cap=bucket_cap)
+    out = _bucket_pairs(banded, cap=bucket_cap)
+    out._codem_shingle_frame = (sh_frame, src, text_col, id_col, shingle_n)  # type: ignore[attr-defined]
+    return out
 
 
 def jaccard_verify(
@@ -366,9 +371,21 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (JVM array intersect/union).
     pairs: (id_a, id_b)."""
-    sh = rebalance(df).select(
-        F.col(id_col).alias("did"), shingles_col(F.col(text_col), shingle_n).alias("sh")
-    ).persist()  # joined on both pair sides
+    shared = getattr(pairs, "_codem_shingle_frame", None)
+    if (
+        shared is not None
+        and shared[1] is df
+        and shared[2] == text_col
+        and shared[3] == id_col
+        and shared[4] == shingle_n
+    ):
+        # candidates already materialized this exact shingle frame — reuse
+        # it instead of a second full shingle-UDF pass over the corpus
+        sh = shared[0]
+    else:
+        sh = rebalance(df).select(
+            F.col(id_col).alias("did"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+        ).persist()  # joined on both pair sides
     j = (
         pairs.join(sh.withColumnsRenamed({"did": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"did": "id_b", "sh": "sh_b"}), "id_b")

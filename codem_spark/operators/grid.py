@@ -781,6 +781,102 @@ def band_pass(
     )
 
 
+def infill_band_pass(
+    dsm: DataFrame,
+    extent: Extent,
+    resolution: float,
+    weak_sigma_px: float,
+    strong_sigma_px: float,
+    tile_px: int = 256,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Fused G4+band-pass: void infill followed by the Gaussian band-pass in
+    ONE tile kernel (optimization round r6) — the registration preprocess
+    chain ran them as two applyInPandas stages with a full shuffle between
+    (measured ~0.7 s of the coarse stage per DSM side at sf0.1; at scale it
+    is a whole extra pass over the raster).
+
+    Exactness argument: with halo = H_bp + H_inf, every infill result
+    within (tile + H_bp) of the core equals the global infill (a round-k
+    fill depends only on cells within Chebyshev k <= H_inf), and the
+    band-pass at any core cell only reads infilled cells within H_bp — so
+    core outputs are bit-identical to infill() -> band_pass() (asserted in
+    tests/test_grid.py). Output: (gx, gy, z, bp) over all filled core
+    cells, exactly like band_pass(infill(dsm))."""
+    filled = dsm.select("gx", "gy", "z")
+    b = filled.agg(
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"), F.max("gy").alias("y1"),
+    ).collect()[0]
+    if b["x0"] is None:
+        return filled.withColumn("bp", F.lit(0.0))
+    bb = (int(b["x0"]), int(b["x1"]), int(b["y0"]), int(b["y1"]))
+    h_inf = int(max_rounds)
+    h_bp = max(1, int(math.ceil(4.0 * strong_sigma_px)) + 1)
+    halo = h_inf + h_bp
+    kw = _gauss_kernel1d(weak_sigma_px)
+    ks = _gauss_kernel1d(strong_sigma_px)
+    exploded = tile_explode(filled, tile_px, halo)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        htx, hty = int(key[0]), int(key[1])
+        x0 = htx * tile_px - halo
+        y0 = hty * tile_px - halo
+        w = tile_px + 2 * halo
+        arr = np.zeros((w, w))
+        have = np.zeros((w, w), dtype=bool)
+        ix = (pdf["gx"].to_numpy() - x0).astype(np.int64)
+        iy = (pdf["gy"].to_numpy() - y0).astype(np.int64)
+        arr[ix, iy] = pdf["z"].to_numpy(np.float64)
+        have[ix, iy] = True
+        gxs = x0 + np.arange(w)
+        gys = y0 + np.arange(w)
+        in_bb = (
+            ((gxs >= bb[0]) & (gxs <= bb[1]))[:, None]
+            & ((gys >= bb[2]) & (gys <= bb[3]))[None, :]
+        )
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+        for _ in range(h_inf):
+            num = np.zeros((w, w))
+            den = np.zeros((w, w))
+            for dx, dy in offs:
+                wgt = 1.0 / float(dx * dx + dy * dy)
+                src_x = slice(max(dx, 0), w + min(dx, 0))
+                src_y = slice(max(dy, 0), w + min(dy, 0))
+                dst_x = slice(max(-dx, 0), w + min(-dx, 0))
+                dst_y = slice(max(-dy, 0), w + min(-dy, 0))
+                hv = have[src_x, src_y]
+                num[dst_x, dst_y] += np.where(hv, arr[src_x, src_y], 0.0) * wgt
+                den[dst_x, dst_y] += hv * wgt
+            newly = (~have) & (den > 0) & in_bb
+            if not newly.any():
+                break
+            arr[newly] = num[newly] / den[newly]
+            have |= newly
+        m = have.astype(np.float64)
+        out = {}
+        for name, k in (("wk", kw), ("st", ks)):
+            num = _sep_conv(arr * m, k)
+            den = _sep_conv(m, k)
+            out[name] = np.where(den > 1e-12, num / np.maximum(den, 1e-12), 0.0)
+        bp = out["wk"] - out["st"]
+        core = np.zeros((w, w), dtype=bool)
+        core[halo : halo + tile_px, halo : halo + tile_px] = True
+        ex, ey = np.nonzero(have & core)
+        return pd.DataFrame(
+            {
+                "gx": ex + x0,
+                "gy": ey + y0,
+                "z": arr[ex, ey],
+                "bp": bp[ex, ey],
+            }
+        )
+
+    return exploded.groupBy("htx", "hty").applyInPandas(
+        kernel, schema="gx long, gy long, z double, bp double"
+    )
+
+
 def colormap_encode(
     df: DataFrame, col: str = "dz", vmin: float = -5.0, vcenter: float = 0.0, vmax: float = 5.0
 ) -> DataFrame:

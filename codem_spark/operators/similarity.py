@@ -44,10 +44,23 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine: broadcast-join all pairs (query side small or
     chunked), rank with a window. Deterministic: ties break by data id.
     Output: (q_id, d_id, cos_sim, rank)."""
-    q = queries.select(F.col(qid).alias("q_id"), F.col(vec).alias("q_vec"))
-    d = data.select(F.col(did).alias("d_id"), F.col(vec).alias("d_vec"))
+    # norms hoisted out of the pair stage: computing norm_col per PAIR
+    # evaluated two 64-element array folds for every (q, d) combination;
+    # per-row norms are the identical float values (same fold, same input)
+    # so dot/(qn*dn + eps) is bit-for-bit the old cosine_col result at a
+    # third of the pair-stage expression work (guide §1.2 per-task work)
+    q = queries.select(
+        F.col(qid).alias("q_id"), F.col(vec).alias("q_vec"),
+        norm_col(F.col(vec)).alias("_qn"),
+    )
+    d = data.select(
+        F.col(did).alias("d_id"), F.col(vec).alias("d_vec"),
+        norm_col(F.col(vec)).alias("_dn"),
+    )
     pairs = q.join(F.broadcast(d), F.col("q_id") != F.col("d_id"))
-    sim = cosine_col(F.col("q_vec"), F.col("d_vec"))
+    sim = dot_col(F.col("q_vec"), F.col("d_vec")) / (
+        F.col("_qn") * F.col("_dn") + F.lit(1e-30)
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("d_id"))
     return (
         pairs.select("q_id", "d_id", F.round(sim, 6).alias("cos_sim"))

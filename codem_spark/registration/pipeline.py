@@ -58,16 +58,20 @@ def _prep_dsm(
     outputs. The DSM is already resolution-reduced, so exact is cheap."""
     cfg = cfg or EngineConfig()
     dsm = grid.grid_max(points, extent, resolution)
-    # persist the infilled raster: the two exact-percentile aggs below and
+    # persist the band-passed raster: the exact-percentile agg below and
     # the final DSM materialization would otherwise recompute the whole
-    # grid_max -> infill -> band_pass chain three times (measured: 45 s ->
-    # ~15 s of the coarse stage). The table is tiny (one row per cell).
-    filled = grid.infill(dsm, extent, resolution)
+    # grid_max -> infill -> band_pass chain (measured: 45 s -> ~15 s of the
+    # coarse stage). The table is tiny (one row per cell).
     # weak sigma floors at 1 px: below that the "weak" blur is a no-op and
     # the band-pass keeps per-cell sampling noise (grid_max of a random
-    # point draw), which destabilizes keypoint detection
-    bp = grid.band_pass(
-        filled,
+    # point draw), which destabilizes keypoint detection.
+    # infill + band-pass run FUSED in one tile kernel (grid.infill_band_pass
+    # — one shuffle and one Python stage instead of two of each; outputs
+    # bit-identical to the sequential chain, asserted in tests).
+    bp = grid.infill_band_pass(
+        dsm,
+        extent,
+        resolution,
         weak_sigma_px=max(cfg.dsm_weak_filter / resolution, 1.0),
         strong_sigma_px=cfg.dsm_strong_filter / resolution,
     ).persist()

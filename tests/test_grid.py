@@ -100,6 +100,48 @@ def test_infill_fills_all_interior_voids(spark):
     assert np.allclose(hole.z.values, exp.values, atol=1.0)
 
 
+def test_infill_band_pass_fused_equals_sequential(spark):
+    """The fused infill+band-pass kernel (optimization r6) must be
+    bit-identical to the sequential infill() -> band_pass() chain, voids,
+    raster edges and tile borders included."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (gx, gy, float(np.sin(gx * 0.3) * 5 + gy * 0.1 + rng.normal(0, 0.2)))
+        for gx in range(70) for gy in range(60)
+        # punch a few holes, including one on a tile border (tile_px=32)
+        if not ((10 <= gx <= 12 and 20 <= gy <= 22) or (31 <= gx <= 33 and 5 <= gy <= 6))
+    ]
+    dsm = spark.createDataFrame(rows, "gx long, gy long, z double")
+    seq = grid.band_pass(
+        grid.infill(dsm, (0, 0, 70, 60), 1.0, tile_px=32),
+        weak_sigma_px=1.0, strong_sigma_px=2.5, tile_px=32,
+    ).toPandas().sort_values(["gx", "gy"]).reset_index(drop=True)
+    fus = grid.infill_band_pass(
+        dsm, (0, 0, 70, 60), 1.0, weak_sigma_px=1.0, strong_sigma_px=2.5, tile_px=32,
+    ).toPandas().sort_values(["gx", "gy"]).reset_index(drop=True)
+    assert len(seq) == len(fus)
+    assert (seq.gx.values == fus.gx.values).all() and (seq.gy.values == fus.gy.values).all()
+    assert np.array_equal(seq.z.values, fus.z.values)
+    assert np.allclose(seq.bp.values, fus.bp.values, atol=1e-12)
+
+
+def test_exact_percentiles_matches_builtin(spark):
+    """exact_percentiles (histogram refinement) must reproduce the builtin
+    percentile() aggregate bit-for-bit, interpolated and exact-index probs,
+    duplicates included."""
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(50, 20, 40_000), np.full(5_000, 42.0)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "z double")
+    probs = [0.0, 0.01, 0.05, 0.5, 0.99, 1.0]
+    ref = df.agg(
+        *[F.expr(f"percentile(z, {p})").alias(f"p{i}") for i, p in enumerate(probs)]
+    ).collect()[0]
+    # small collect_cap forces at least one histogram refinement round
+    got = grid.exact_percentiles(df, "z", probs, collect_cap=2_000)
+    for i in range(len(probs)):
+        assert got[i] == ref[f"p{i}"], (probs[i], got[i], ref[f"p{i}"])
+
+
 def test_dsm_to_points_area_point_shift(spark):
     dsm = spark.createDataFrame([(2, 3, 7.0)], "gx long, gy long, z double")
     a = grid.dsm_to_points(dsm, (0, 0, 10, 10), 1.0, "Area").collect()[0]
