@@ -57,7 +57,9 @@ def _prep_dsm(
     differ between cluster sizes — the north rule demands identical
     outputs. The DSM is already resolution-reduced, so exact is cheap."""
     cfg = cfg or EngineConfig()
-    dsm = grid.grid_max(points, extent, resolution)
+    # persist the raw DSM: the fused kernel's bbox agg and the kernel pass
+    # itself would otherwise each rerun the full grid_max aggregation
+    dsm = grid.grid_max(points, extent, resolution).persist()
     # persist the band-passed raster: the exact-percentile agg below and
     # the final DSM materialization would otherwise recompute the whole
     # grid_max -> infill -> band_pass chain (measured: 45 s -> ~15 s of the
@@ -97,6 +99,7 @@ def _prep_dsm(
     out = q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8")).persist()
     out.count()  # materialize through the cached band-pass, then release it
     bp.unpersist(False)
+    dsm.unpersist(False)
     return out
 
 
