@@ -56,8 +56,10 @@ def compute_normals(
     filters.normal knn=9, preprocess.py:317-350). Tile+halo cogroup kernel;
     normals oriented +z (the reference's convention for DSM-derived clouds).
     Output: (pid, x, y, z, nx, ny, nz)."""
+    from codem_spark.util import approx_row_count
+
     par = points.sparkSession.sparkContext.defaultParallelism
-    level = knn.auto_level(extent, radius, points.count(), parallelism=par)
+    level = knn.auto_level(extent, radius, approx_row_count(points), parallelism=par)
     q = cells.with_cell(points.select(pid, "x", "y", "z"), "x", "y", extent, level).drop(
         "_ix", "_iy"
     )
@@ -231,8 +233,7 @@ def fine_registration(
     # normals on the fixed cloud (once; reference preprocess.py:317-350)
     if fixed_normals is None:
         fixed_normals = compute_normals(fixed, extent, radius=4.0 * resolution)
-    fixed_n = fixed_normals.persist()
-    fixed_n.count()
+    fixed_n = fixed_normals.persist()  # materialized by the mean agg below
     r_carry = ("x", "y", "z", "nx", "ny", "nz")
 
     # mean-centering offset for conditioning (reference icp.py:116-119) —
@@ -251,8 +252,10 @@ def fine_registration(
     # center the *extent* too so tiling stays aligned
     c_extent = (extent[0] - mu[0], extent[1] - mu[1], extent[2] - mu[0], extent[3] - mu[1])
 
+    from codem_spark.util import approx_row_count
+
     moving_base = moving.select("pid", "x", "y", "z").persist()
-    n_moving = moving_base.count()
+    n_moving = approx_row_count(moving_base)  # parallelism knob only
     join_level = knn.auto_level(
         c_extent, radius, n_moving,
         parallelism=spark.sparkContext.defaultParallelism,
@@ -268,6 +271,8 @@ def fine_registration(
         .repartition(F.col("cell_id"))
         .persist()
     )
+    # the count doubles as materialization of the tiled cache THROUGH the
+    # normals cache, which can then be released before the loop
     fixed_tiled.count()
     fixed_n.unpersist(False)
 
