@@ -68,11 +68,14 @@ def _tile_union_find(tolerance: float):
             return pd.DataFrame({c: [] for c in cols})
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
         # within-tolerance pairs via the shared grid-hash radius kernel
-        # (linear in candidate volume); then vectorized component labels —
-        # no per-pair Python loop
-        li, ri, _d, _rk = knn.grid_topk(pts, pts, np.arange(n), tolerance, k=None)
-        m = li != ri
-        roots = components_np(n, li[m], ri[m])
+        # (linear in candidate volume); unordered_pairs halves the DRAM-bound
+        # candidate/distance volume — components_np symmetrizes internally,
+        # so one orientation per pair is enough. Then vectorized component
+        # labels — no per-pair Python loop.
+        li, ri, _d, _rk = knn.grid_topk(
+            pts, pts, np.arange(n), tolerance, k=None, unordered_pairs=True
+        )
+        roots = components_np(n, li, ri)
         # tile-local label = min pid in component (globally meaningful seed).
         # Coordinates and the border flag ride along so the cross-tile edge
         # join can run DIRECTLY on labeled border rows — the old plan joined
@@ -105,15 +108,15 @@ def euclidean_cluster(
 ) -> DataFrame:
     """points(pid, x, y, z) -> (pid, cluster_id); cluster_id = min pid of the
     cluster, or -1 for clusters smaller than min_points."""
-    # consumed three times below (tiling, both radius-join sides): persist so
-    # an expensive upstream (e.g. a kNN-dZ output) is not recomputed; the
-    # cache materializes inside the first real job (the label checkpoint)
-    # instead of via a dedicated count() — n_points only feeds parallelism
-    # and capacity knobs, where a plan-statistics estimate is enough (an
-    # overestimate errs toward more tiles / the shuffle join, both correct)
+    # The input has exactly ONE data consumer (the tile kernel — border rows
+    # and labels all derive from the checkpointed kernel output), so no
+    # persist: a cache pass here is a pure extra materialization.
+    # n_points only feeds parallelism and capacity knobs, where a
+    # plan-statistics estimate is enough (an overestimate errs toward more
+    # tiles / the shuffle join, both correct).
     from codem_spark.util import approx_row_count
 
-    points = points.select("pid", "x", "y", "z").persist()
+    points = points.select("pid", "x", "y", "z")
     par = points.sparkSession.sparkContext.defaultParallelism
     n_points = approx_row_count(points)
     level = knn.auto_level(extent, tolerance, n_points, parallelism=par)
@@ -158,6 +161,12 @@ def euclidean_cluster(
     border = labeled.filter(F.col("is_border")).select(
         F.col("label").alias("lab"), "x", "y", "z"
     )
+    # unordered_ids: each cross-tile pair is generated in both orientations
+    # (once per endpoint's home tile) and same-label pairs carry no
+    # connectivity — the kernel-side lab < n_lab mask halves the rows
+    # reaching this distinct() and drops dense same-blob border traffic; the
+    # driver CC and the distributed fallback both symmetrize, so one
+    # orientation per edge is sufficient.
     ledges = (
         knn.radius_join(
             border,
@@ -168,8 +177,8 @@ def euclidean_cluster(
             rid="lab",
             level=level,
             cross_tile_only=True,
+            unordered_ids=True,
         )
-        .filter(F.col("lab") != F.col("n_lab"))
         .select(F.col("lab").alias("la"), F.col("n_lab").alias("lb"))
         .distinct()
     )
@@ -186,8 +195,11 @@ def euclidean_cluster(
     # rows, not point rows.
     ep = ledges.limit(driver_cc_max_edges + 1).toPandas()
     driver_path = len(ep) <= driver_cc_max_edges
+    spark = points.sparkSession
+    nodes = node_root = None
+    rootmap = None
     if len(ep) == 0:
-        rootmap = None
+        pass
     elif driver_path:
         ea = ep["la"].to_numpy(np.int64)
         eb = ep["lb"].to_numpy(np.int64)
@@ -200,10 +212,7 @@ def euclidean_cluster(
         # this is exactly the global min-pid label)
         comp_min = np.full(len(nodes), np.iinfo(np.int64).max)
         np.minimum.at(comp_min, roots, nodes)
-        spark = points.sparkSession
-        rootmap = spark.createDataFrame(
-            pd.DataFrame({"label": nodes, "root": comp_min[roots]})
-        )
+        node_root = comp_min[roots]
     else:
         sym = (
             ledges.unionByName(
@@ -251,17 +260,47 @@ def euclidean_cluster(
         rootmap = rm.withColumnsRenamed({"la": "label"})
     # Size filter folded into a LABEL-level map (VERDICT r4 item 4): per-
     # tile-local-label counts come from ONE map-side-combinable groupBy over
-    # the checkpointed point labels; root resolution and the min_points cull
-    # then run entirely on label rows, and the points table is touched by a
-    # single final join against the (label -> cluster_id) map. The old plan
-    # resolved roots point-level first and then did a second point-level
-    # groupBy + join for sizes.
+    # the checkpointed point labels. On the common path (driver-resolved
+    # roots AND label table under the probe cap) root resolution and the
+    # min_points cull run in numpy on the DRIVER from that one probe —
+    # replacing the label-level join/agg/join chain with zero extra shuffles
+    # — and the single point-level join broadcasts by construction, keyed on
+    # the actual LABEL count rather than the point count (labels are bounded
+    # by tiles × components-per-tile, so at 10× rows the old n_points-based
+    # switch forced a full point shuffle for a map of a few thousand rows).
     lsize = labels.groupBy("label").agg(F.count("*").alias("n"))
+    lp = None
+    if rootmap is None:  # no edges, or roots already resolved on the driver
+        lp = lsize.limit(driver_cc_max_edges + 1).toPandas()
+        if len(lp) > driver_cc_max_edges:
+            lp = None
+    if lp is not None:
+        labs = lp["label"].to_numpy(np.int64)
+        ns = lp["n"].to_numpy(np.int64)
+        if nodes is None:
+            root = labs
+        else:
+            pos = np.minimum(np.searchsorted(nodes, labs), len(nodes) - 1)
+            hit = nodes[pos] == labs
+            root = np.where(hit, node_root[pos], labs)
+        uroot, inv = np.unique(root, return_inverse=True)
+        tot = np.bincount(inv, weights=ns).astype(np.int64)
+        cluster_id = np.where(tot[inv] >= min_points, root, np.int64(-1))
+        final_map = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"label": labs, "cluster_id": cluster_id})
+            )
+        )
+        return labels.join(final_map, "label").select("pid", "cluster_id")
+    # fallback: label table over the probe cap (sparse dust can make every
+    # isolated point its own label) — distributed label-level resolution
+    if rootmap is None and nodes is not None:
+        rootmap = F.broadcast(
+            spark.createDataFrame(pd.DataFrame({"label": nodes, "root": node_root}))
+        )
     if rootmap is None:
         labmap = lsize.select("label", F.col("label").alias("root"), "n")
     else:
-        if driver_path:
-            rootmap = F.broadcast(rootmap)
         labmap = lsize.join(rootmap, "label", "left").select(
             "label", F.coalesce("root", "label").alias("root"), "n"
         )
@@ -272,12 +311,9 @@ def euclidean_cluster(
         .otherwise(F.lit(-1))
         .alias("cluster_id"),
     )
-    # capacity switch for the one point-level join: the label map is bounded
-    # by the point count, so at bench scale it broadcasts (shuffle-free over
-    # points); at cluster scale (sparse data can make every isolated point
-    # its own label) it falls back to a shuffle join on label
+    # capacity switch for the one point-level join: broadcast only when the
+    # label map is provably small; here the label count exceeded the probe
+    # cap, so fall back to the n_points heuristic
     if n_points <= 5_000_000:
         final_map = F.broadcast(final_map)
-    out = labels.join(final_map, "label").select("pid", "cluster_id")
-    points.unpersist(False)
-    return out
+    return labels.join(final_map, "label").select("pid", "cluster_id")

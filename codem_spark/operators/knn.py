@@ -103,6 +103,13 @@ def grid_topk(
     # the 7.3M-pt harness stage measured 245.9 -> 105.6 s at 1 core and
     # 89.4 -> 30.8 s at 4 (2.75x -> 3.43x core-scaling), identical output.
     pair_chunk: int = 131_072,
+    # unordered_pairs=True (self-join connectivity mode; REQUIRES lpts and
+    # rpts to be the same array in the same order, and k=None): keep each
+    # unordered pair once (right index > left index), masked BEFORE the
+    # distance evaluation — halves the candidate volume of the DRAM-bound
+    # diff/einsum step. Self-pairs are excluded by construction. Callers
+    # that symmetrize downstream (the union-find kernels) lose nothing.
+    unordered_pairs: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 
@@ -130,6 +137,8 @@ def grid_topk(
     callers discard it).
     """
     n_l, n_r = len(lpts), len(rpts)
+    if unordered_pairs and k is not None:
+        raise ValueError("grid_topk: unordered_pairs requires k=None")
     if n_l == 0 or n_r == 0:
         return _EMPTY
     r2 = radius * radius
@@ -201,6 +210,12 @@ def grid_topk(
         offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
         ri_sorted_idx = starts_rep + offs
         ri_glob = rorder[ri_sorted_idx]
+        if unordered_pairs:
+            keep = ri_glob > li_rep
+            li_rep = li_rep[keep]
+            ri_glob = ri_glob[keep]
+            if len(li_rep) == 0:
+                continue
         diff = lpts[li_rep] - rpts[ri_glob]
         d2 = np.einsum("ij,ij->i", diff, diff)
         within = d2 <= r2
@@ -482,6 +497,7 @@ def radius_join(
     ring: int = 1,
     level: int | None = None,
     cross_tile_only: bool = False,
+    unordered_ids: bool = False,
 ) -> DataFrame:
     """ALL pairs within ``radius`` (not top-k) — the distance-join used for
     clustering edges (J8) and IDW neighborhoods. Same tile+halo plan as
@@ -492,6 +508,14 @@ def radius_join(
     tiles — the connected-components edge mode: intra-tile connectivity is
     already resolved by the in-tile kernel, so emitting intra-tile pairs
     again would make a dense m-point blob cost m² edge rows at the shuffle.
+
+    unordered_ids=True (for self-joins whose consumer symmetrizes, i.e. the
+    CC edge phase) keeps only pairs with lid < rid, masked in the kernel
+    before the Arrow boundary: a cross-tile pair is produced in BOTH
+    orientations (once per endpoint's home tile), and same-id pairs carry no
+    connectivity, so this halves the rows crossing the shuffle (and drops
+    the dense same-label border traffic) without changing the edge set the
+    downstream distinct() + symmetrization sees.
     """
     if level is None:
         par = left.sparkSession.sparkContext.defaultParallelism
@@ -520,6 +544,9 @@ def radius_join(
         lids_ = lpdf[lid].to_numpy()
         rids_ = rpdf[rid].to_numpy()
         li, ri, dist, _rank = grid_topk(lp, rp, rids_, radius, k=None)
+        if unordered_ids:
+            keep = lids_[li] < rids_[ri]
+            li, ri, dist = li[keep], ri[keep], dist[keep]
         return pd.DataFrame({lid: lids_[li], "n_" + rid: rids_[ri], "nn_dist": dist})
 
     lf = {f.name: f.dataType.simpleString() for f in left.schema.fields}
