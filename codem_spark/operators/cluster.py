@@ -63,7 +63,7 @@ def _tile_union_find(tolerance: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         pids = pdf["pid"].to_numpy()
-        cols = ["pid", "label", "x", "y", "z", "is_border"]
+        cols = ["pid", "label", "lab_n", "x", "y", "z", "is_border"]
         if n == 0:
             return pd.DataFrame({c: [] for c in cols})
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
@@ -82,12 +82,28 @@ def _tile_union_find(tolerance: float):
         # the full label table back onto the edge endpoints, two full-table
         # shuffles per run (guide §8: carry the small annotation with the
         # row instead of joining it back later).
+        pids64 = pids.astype(np.int64)
         comp_min = np.full(n, np.iinfo(np.int64).max)
-        np.minimum.at(comp_min, roots, pids.astype(np.int64))
+        np.minimum.at(comp_min, roots, pids64)
+        # label sizes are FULLY known here — labels are tile-local (min pid
+        # of the tile component), so the global per-label count is this
+        # component's size. It is emitted on exactly ONE representative row
+        # per component (first row carrying the min pid — input pids may
+        # repeat) and 0 elsewhere, so the caller reads the (label, n) table
+        # with a narrow lab_n > 0 filter instead of a groupBy shuffle, and
+        # the final broadcast join stays one-row-per-label by construction.
+        comp_n = np.bincount(roots, minlength=n)
+        cand = np.flatnonzero(pids64 == comp_min[roots])
+        rep_idx = np.full(n, n, dtype=np.int64)
+        np.minimum.at(rep_idx, roots[cand], cand)
+        lab_n = np.zeros(n, dtype=np.int64)
+        sel = rep_idx[rep_idx < n]
+        lab_n[sel] = comp_n[roots[sel]]
         return pd.DataFrame(
             {
                 "pid": pids,
                 "label": comp_min[roots],
+                "lab_n": lab_n,
                 "x": pts[:, 0],
                 "y": pts[:, 1],
                 "z": pts[:, 2],
@@ -138,7 +154,8 @@ def euclidean_cluster(
         .groupBy("cell_id")
         .applyInPandas(
             lambda _k, pdf: _tile_union_find(tolerance)(pdf),
-            schema="pid long, label long, x double, y double, z double, is_border boolean",
+            schema="pid long, label long, lab_n long, "
+            "x double, y double, z double, is_border boolean",
         )
     )
     labeled = local.localCheckpoint(eager=True)
@@ -161,48 +178,71 @@ def euclidean_cluster(
     border = labeled.filter(F.col("is_border")).select(
         F.col("label").alias("lab"), "x", "y", "z"
     )
-    # unordered_ids: each cross-tile pair is generated in both orientations
-    # (once per endpoint's home tile) and same-label pairs carry no
-    # connectivity — the kernel-side lab < n_lab mask halves the rows
-    # reaching this distinct() and drops dense same-blob border traffic; the
-    # driver CC and the distributed fallback both symmetrize, so one
-    # orientation per edge is sufficient.
-    ledges = (
-        knn.radius_join(
-            border,
-            border,
-            extent,
-            radius=tolerance,
-            lid="lab",
-            rid="lab",
-            level=level,
-            cross_tile_only=True,
-            unordered_ids=True,
+    # Capacity switch #1 (the common path): the border band is a thin
+    # fraction of the cloud, so under the probe cap the whole cross-tile
+    # edge computation runs in numpy on the DRIVER with the same grid_topk
+    # kernel the tiles use. Any within-tolerance pair in the SAME tile is
+    # same-label by construction (the tile kernel unioned it), so filtering
+    # driver pairs to label_a != label_b yields exactly the cross-tile label
+    # edge set — replacing a cogroup radius join + distinct shuffle + edge
+    # probe (several driver round-trips of pure plumbing for a few thousand
+    # edges) with one bounded collect. Above the cap, the distributed
+    # radius-join edge path below is unchanged.
+    edges_np = None
+    ledges = None
+    bp = border.limit(driver_cc_max_edges + 1).toPandas()
+    if len(bp) <= driver_cc_max_edges:
+        bpts = bp[["x", "y", "z"]].to_numpy(np.float64)
+        blab = bp["lab"].to_numpy(np.int64)
+        bi, bj, _d, _rk = knn.grid_topk(
+            bpts, bpts, np.arange(len(bp)), tolerance, k=None, unordered_pairs=True
         )
-        .select(F.col("lab").alias("la"), F.col("n_lab").alias("lb"))
-        .distinct()
-    )
-    # Capacity switch, like the brute-force->LSH descriptor-match switch
-    # (registration/coarse.py): a contracted graph under ~2^21 edges is
-    # resolved exactly on the driver with the vectorized hash-to-min
-    # (components_np — the same routine the tile kernels run). The
-    # limit(cap+1) PROBE (same pattern as similarity.py's matmul top-k) is
-    # the only materialization of the edge frame on the common path: <= cap
-    # rows back means the probe IS the complete edge set — no separate
-    # checkpoint + count jobs. Larger graphs fall through to distributed
-    # min-label propagation with group shortcutting over the contracted
-    # edges — O(log diameter) rounds, each a bounded shuffle over LABEL
-    # rows, not point rows.
-    ep = ledges.limit(driver_cc_max_edges + 1).toPandas()
-    driver_path = len(ep) <= driver_cc_max_edges
+        dm = blab[bi] != blab[bj]
+        # duplicates are fine: components_np is idempotent over repeated
+        # edges, and the arrays are already in memory
+        edges_np = (blab[bi[dm]], blab[bj[dm]])
+    else:
+        # unordered_ids: each cross-tile pair is generated in both
+        # orientations (once per endpoint's home tile) and same-label pairs
+        # carry no connectivity — the kernel-side lab < n_lab mask halves
+        # the rows reaching this distinct(); the driver CC and the
+        # distributed fallback both symmetrize, so one orientation per edge
+        # is sufficient.
+        ledges = (
+            knn.radius_join(
+                border,
+                border,
+                extent,
+                radius=tolerance,
+                lid="lab",
+                rid="lab",
+                level=level,
+                cross_tile_only=True,
+                unordered_ids=True,
+            )
+            .select(F.col("lab").alias("la"), F.col("n_lab").alias("lb"))
+            .distinct()
+        )
+        # Capacity switch #2, like the brute-force->LSH descriptor-match
+        # switch (registration/coarse.py): a contracted graph under ~2^21
+        # edges is resolved exactly on the driver with the vectorized
+        # hash-to-min (components_np — the same routine the tile kernels
+        # run). The limit(cap+1) PROBE (same pattern as similarity.py's
+        # matmul top-k) is the only materialization of the edge frame:
+        # <= cap rows back means the probe IS the complete edge set. Larger
+        # graphs fall through to distributed min-label propagation with
+        # group shortcutting over the contracted edges — O(log diameter)
+        # rounds, each a bounded shuffle over LABEL rows, not point rows.
+        ep = ledges.limit(driver_cc_max_edges + 1).toPandas()
+        if len(ep) <= driver_cc_max_edges:
+            edges_np = (ep["la"].to_numpy(np.int64), ep["lb"].to_numpy(np.int64))
     spark = points.sparkSession
     nodes = node_root = None
     rootmap = None
-    if len(ep) == 0:
+    if edges_np is not None and len(edges_np[0]) == 0:
         pass
-    elif driver_path:
-        ea = ep["la"].to_numpy(np.int64)
-        eb = ep["lb"].to_numpy(np.int64)
+    elif edges_np is not None:
+        ea, eb = edges_np
         nodes = np.unique(np.concatenate([ea, eb]))
         idx = {int(v): i for i, v in enumerate(nodes)}
         ii = np.array([idx[int(v)] for v in ea], dtype=np.int64)
@@ -258,17 +298,21 @@ def euclidean_cluster(
                 break
             prev_sum = new_sum
         rootmap = rm.withColumnsRenamed({"la": "label"})
-    # Size filter folded into a LABEL-level map (VERDICT r4 item 4): per-
-    # tile-local-label counts come from ONE map-side-combinable groupBy over
-    # the checkpointed point labels. On the common path (driver-resolved
-    # roots AND label table under the probe cap) root resolution and the
-    # min_points cull run in numpy on the DRIVER from that one probe —
-    # replacing the label-level join/agg/join chain with zero extra shuffles
-    # — and the single point-level join broadcasts by construction, keyed on
-    # the actual LABEL count rather than the point count (labels are bounded
+    # Size filter folded into a LABEL-level map (VERDICT r4 item 4). Labels
+    # are tile-local, so the kernel already computed every label's global
+    # size — the (label, n) table is read off the single representative row
+    # per label the kernel marked (lab_n > 0) with a narrow checkpoint
+    # filter, no groupBy shuffle. On the common path (driver-resolved roots AND label
+    # table under the probe cap) root resolution and the min_points cull
+    # run in numpy on the DRIVER from that one probe — replacing the
+    # label-level join/agg/join chain with zero extra shuffles — and the
+    # single point-level join broadcasts by construction, keyed on the
+    # actual LABEL count rather than the point count (labels are bounded
     # by tiles × components-per-tile, so at 10× rows the old n_points-based
     # switch forced a full point shuffle for a map of a few thousand rows).
-    lsize = labels.groupBy("label").agg(F.count("*").alias("n"))
+    lsize = labeled.filter(F.col("lab_n") > 0).select(
+        "label", F.col("lab_n").alias("n")
+    )
     lp = None
     if rootmap is None:  # no edges, or roots already resolved on the driver
         lp = lsize.limit(driver_cc_max_edges + 1).toPandas()

@@ -135,3 +135,34 @@ def test_cross_tile_chain_distributed_fallback(spark):
         .sort_values("pid")
     )
     assert (got.cluster_id == 0).all()
+
+
+def test_cluster_duplicate_pids_preserve_cardinality(spark):
+    """Inputs may carry repeated pids (the bench's lineitem-derived cloud
+    does): the per-label size table must stay one-row-per-label (the kernel
+    marks a single representative row even when the min pid repeats), so
+    the final broadcast join cannot fan out rows."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = pd.DataFrame(
+        {
+            "pid": np.arange(40),
+            "x": rng.uniform(10, 90, 40),
+            "y": rng.uniform(10, 90, 40),
+            "z": 0.0,
+        }
+    )
+    dup = pd.concat([base, base.iloc[:15]], ignore_index=True)  # repeated pids
+    got = (
+        cluster.euclidean_cluster(
+            spark.createDataFrame(dup), SMALL_EXTENT, tolerance=3.0, min_points=2
+        )
+        .toPandas()
+        .sort_values(["pid", "cluster_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(dup)  # no fan-out, no loss
+    # duplicate pid rows agree with their originals
+    per_pid = got.groupby("pid").cluster_id.nunique()
+    assert (per_pid == 1).all()
