@@ -41,10 +41,23 @@ class PreprocessResult:
     aoi_dsm: DataFrame
     extent: Extent
     resolution: float
+    # upstream persisted intermediates (raw + band-passed DSMs) still
+    # referenced by the un-materialized fnd_dsm/aoi_dsm lineage; released by
+    # the first downstream stage that materializes the DSM caches
+    upstream_caches: tuple = ()
+
+    def release_upstream(self) -> None:
+        for df in self.upstream_caches:
+            df.unpersist(False)
+        self.upstream_caches = ()
 
 
 def _prep_dsm(
-    points: DataFrame, extent: Extent, resolution: float, cfg: EngineConfig | None = None
+    points: DataFrame,
+    extent: Extent,
+    resolution: float,
+    cfg: EngineConfig | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """points -> infilled, band-passed, normalized DSM tile table (the
     reference's GeoData.prep: _infill -> _normalize, preprocess.py:360-373):
@@ -97,6 +110,13 @@ def _prep_dsm(
     q = grid.quantize_normalize(bp, "bp", bounds=(qs["bp_lo"], qs["bp_hi"]))
     q = grid.quantize_normalize(q, "z", bounds=(qs["z_lo"], qs["z_hi"]))
     out = q.select("gx", "gy", "z", "z_u8", F.col("bp_u8").alias("det_u8")).persist()
+    if release is not None:
+        # caller-managed lifecycle: skip the dedicated materialization job —
+        # the first consumer (the keypoint count in coarse_registration)
+        # materializes `out` through the still-cached band-pass, and the
+        # caller releases these handles right after
+        release.extend([bp, dsm])
+        return out
     out.count()  # materialize through the cached band-pass, then release it
     bp.unpersist(False)
     dsm.unpersist(False)
@@ -149,12 +169,21 @@ def preprocess(
     # when neither side alone saturates the cluster).
     from concurrent.futures import ThreadPoolExecutor
 
+    rel_f: list = []
+    rel_a: list = []
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_fnd = pool.submit(lambda: _prep_dsm(fnd_points, extent, resolution, cfg))
-        f_aoi = pool.submit(lambda: _prep_dsm(aoi_points, extent, resolution, cfg))
+        f_fnd = pool.submit(
+            lambda: _prep_dsm(fnd_points, extent, resolution, cfg, release=rel_f)
+        )
+        f_aoi = pool.submit(
+            lambda: _prep_dsm(aoi_points, extent, resolution, cfg, release=rel_a)
+        )
         fnd_dsm = f_fnd.result().persist()
         aoi_dsm = f_aoi.result().persist()
-    return PreprocessResult(fnd_points, aoi_points, fnd_dsm, aoi_dsm, extent, resolution)
+    return PreprocessResult(
+        fnd_points, aoi_points, fnd_dsm, aoi_dsm, extent, resolution,
+        upstream_caches=tuple(rel_f + rel_a),
+    )
 
 
 def coarse_registration(
@@ -174,6 +203,10 @@ def coarse_registration(
     with ThreadPoolExecutor(max_workers=2) as pool:
         for f in [pool.submit(fnd_kp.count), pool.submit(aoi_kp.count)]:
             f.result()
+    # the keypoint counts just materialized both DSM caches end-to-end —
+    # the preprocess intermediates (raw + band-passed DSM caches) are no
+    # longer needed by anything
+    prep.release_upstream()
     try:
         return coarse_mod.coarse_registration(fnd_kp, aoi_kp, cfg, capture=capture)
     finally:
