@@ -194,13 +194,21 @@ def euclidean_cluster(
     if len(bp) <= driver_cc_max_edges:
         bpts = bp[["x", "y", "z"]].to_numpy(np.float64)
         blab = bp["lab"].to_numpy(np.int64)
+        # exclude_same_group: same-label border pairs (the dense within-blob
+        # bulk) are rejected by an integer compare at candidate level —
+        # only genuinely cross-component candidates pay the 3-D distance
         bi, bj, _d, _rk = knn.grid_topk(
-            bpts, bpts, np.arange(len(bp)), tolerance, k=None, unordered_pairs=True
+            bpts,
+            bpts,
+            np.arange(len(bp)),
+            tolerance,
+            k=None,
+            unordered_pairs=True,
+            exclude_same_group=(blab, blab),
         )
-        dm = blab[bi] != blab[bj]
         # duplicates are fine: components_np is idempotent over repeated
         # edges, and the arrays are already in memory
-        edges_np = (blab[bi[dm]], blab[bj[dm]])
+        edges_np = (blab[bi], blab[bj])
     else:
         # unordered_ids: each cross-tile pair is generated in both
         # orientations (once per endpoint's home tile) and same-label pairs

@@ -110,6 +110,13 @@ def grid_topk(
     # diff/einsum step. Self-pairs are excluded by construction. Callers
     # that symmetrize downstream (the union-find kernels) lose nothing.
     unordered_pairs: bool = False,
+    # exclude_same_group=(lgroup, rgroup) (k=None mode): drop candidate
+    # pairs whose group ids match, BEFORE the distance evaluation. The CC
+    # edge callers pass component labels here — same-label pairs carry no
+    # connectivity, and on dense data they are the overwhelming majority of
+    # the candidate volume (every within-blob pair), so one integer compare
+    # replaces the 3-D distance evaluation for ~all of them.
+    exclude_same_group: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 
@@ -137,8 +144,10 @@ def grid_topk(
     callers discard it).
     """
     n_l, n_r = len(lpts), len(rpts)
-    if unordered_pairs and k is not None:
-        raise ValueError("grid_topk: unordered_pairs requires k=None")
+    if (unordered_pairs or exclude_same_group is not None) and k is not None:
+        raise ValueError(
+            "grid_topk: unordered_pairs/exclude_same_group require k=None"
+        )
     if n_l == 0 or n_r == 0:
         return _EMPTY
     r2 = radius * radius
@@ -210,8 +219,15 @@ def grid_topk(
         offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
         ri_sorted_idx = starts_rep + offs
         ri_glob = rorder[ri_sorted_idx]
-        if unordered_pairs:
-            keep = ri_glob > li_rep
+        if unordered_pairs or exclude_same_group is not None:
+            if unordered_pairs:
+                keep = ri_glob > li_rep
+                if exclude_same_group is not None:
+                    lg, rg = exclude_same_group
+                    keep &= lg[li_rep] != rg[ri_glob]
+            else:
+                lg, rg = exclude_same_group
+                keep = lg[li_rep] != rg[ri_glob]
             li_rep = li_rep[keep]
             ri_glob = ri_glob[keep]
             if len(li_rep) == 0:
@@ -543,7 +559,10 @@ def radius_join(
         rp = np.column_stack([rpdf[d].to_numpy(np.float64) for d in dims])
         lids_ = lpdf[lid].to_numpy()
         rids_ = rpdf[rid].to_numpy()
-        li, ri, dist, _rank = grid_topk(lp, rp, rids_, radius, k=None)
+        excl = (lids_, rids_) if unordered_ids else None
+        li, ri, dist, _rank = grid_topk(
+            lp, rp, rids_, radius, k=None, exclude_same_group=excl
+        )
         if unordered_ids:
             keep = lids_[li] < rids_[ri]
             li, ri, dist = li[keep], ri[keep], dist[keep]
