@@ -160,11 +160,18 @@ def _q_knn_dz(spark: SparkSession, sf_dir: str) -> DataFrame:
     clouds, tile+halo kNN with completeness escalation."""
     from codem_spark.operators import knn
 
-    # persist: both join sides and every escalation round derive from the
-    # same scan+distinct — without this the parquet scan reruns per use
-    pts = _points(spark, sf_dir).persist()
+    # persist only the two residue classes the join touches: the filter is
+    # on pid (the distinct key, x/y/z pure functions of it), so it commutes
+    # with the dedupe and Catalyst pushes it BELOW the distinct — the
+    # cached frame and its shuffle carry ~1/20th of the cloud instead of
+    # the full 600k rows the old full-cloud persist materialized
     # NB: pid = l_orderkey*8 + l_linenumber with l_linenumber in 1..7, so
     # pid % 8 is never 0 — pick residues that actually occur
+    pts = (
+        _points(spark, sf_dir)
+        .filter((F.col("pid") % 40).isin(1, 2))
+        .persist()
+    )
     a = pts.filter(F.col("pid") % 40 == 1)
     b = pts.filter(F.col("pid") % 40 == 2)
     j = knn.knn_join_complete(
