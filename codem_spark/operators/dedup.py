@@ -183,11 +183,28 @@ def _minhash_matrix(
             # bound — measured only 2.5x core-scaling 4 -> 16 on the
             # signature stage), while the per-lane temps stay L2-resident
             # (hp is reread from cache each lane). Bit-identical results.
+            #
+            # The per-lane reduction `prod % p` is the hot op: int64
+            # remainder has no SIMD form (scalar ~20-40-cycle divisions,
+            # 64 lanes x every shingle). p = 2^31 - 1 is Mersenne, so
+            # 2^31 ≡ 1 (mod p) and the remainder folds with shifts:
+            # x ≡ (x & p) + (x >> 31). prod = hp*a + b < p^2 + p < 2^62,
+            # so two folds bring the value to <= p + 2 and one masked
+            # subtract lands exactly in [0, p) — bit-identical to `%`
+            # (asserted in tests/test_dedup.py), all SIMD ops. Measured
+            # ~3x on the signature kernel.
             prod = np.empty_like(hp)
+            fold = np.empty_like(hp)
             for lane in range(num_hashes):
                 np.multiply(hp, a_vec[lane], out=prod)
                 prod += b_vec[lane]
-                prod %= _MH_PRIME
+                np.right_shift(prod, 31, out=fold)
+                prod &= _MH_PRIME
+                prod += fold
+                np.right_shift(prod, 31, out=fold)
+                prod &= _MH_PRIME
+                prod += fold
+                np.subtract(prod, _MH_PRIME, out=prod, where=prod >= _MH_PRIME)
                 mins = np.minimum.reduceat(prod, safe_starts)
                 if safe.all():
                     out[row_lo:row_hi, lane] = mins
@@ -434,17 +451,38 @@ def simhash_col(text_col: Column, bits: int = 64, shingle_n: int = 2) -> Column:
         # 64-bit avalanche so every simhash bit-plane is informative
         flat31 = np.concatenate([np.asarray(v, dtype=np.int64) for v in s])
         flat = splitmix64_np(flat31).view(np.uint64)
-        # (N, 64) bit matrix -> +/-1 votes
-        shifts = np.arange(bits, dtype=np.uint64)
-        votes = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        safe = lens > 0
-        tot = np.zeros((n, bits), dtype=np.int64)
-        if safe.all():
-            tot = np.add.reduceat(votes, starts, axis=0)
-        else:
-            tot[safe] = np.add.reduceat(votes, starts[safe], axis=0)
+        # Per-bit set counts, chunked by row groups so the per-lane
+        # temporaries stay L2-resident (same pattern and 256k-flat chunk
+        # size as _minhash_matrix): the old (N_shingles, 64) int64 ±1 vote
+        # matrix wrote+read multi-GB DRAM temporaries per Arrow batch at
+        # corpus scale. tot = sum(±1) = 2*count_set - n_shingles, computed
+        # per row at the end — bit-identical fingerprints.
+        cnt = np.zeros((n, bits), dtype=np.int64)
+        cum = np.cumsum(lens)
+        chunk_flat = 256_000
+        row_lo = 0
+        while row_lo < n:
+            base = cum[row_lo - 1] if row_lo else 0
+            row_hi = int(np.searchsorted(cum, base + chunk_flat, side="right"))
+            row_hi = max(row_hi, row_lo + 1)
+            lsl = lens[row_lo:row_hi]
+            if lsl.sum() > 0:
+                fl = flat[base : cum[row_hi - 1]]
+                starts = np.zeros(len(lsl), dtype=np.int64)
+                np.cumsum(lsl[:-1], out=starts[1:])
+                safe = lsl > 0
+                safe_starts = starts if safe.all() else starts[safe]
+                tmp = np.empty_like(fl)
+                for bit in range(bits):
+                    np.right_shift(fl, np.uint64(bit), out=tmp)
+                    tmp &= np.uint64(1)
+                    m = np.add.reduceat(tmp.view(np.int64), safe_starts)
+                    if safe.all():
+                        cnt[row_lo:row_hi, bit] = m
+                    else:
+                        cnt[row_lo:row_hi, bit][safe] = m
+            row_lo = row_hi
+        tot = 2 * cnt - lens[:, None]
         bitsm = (tot > 0).astype(np.uint64)
         weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
         packed = (bitsm * weights[None, :]).sum(axis=1, dtype=np.uint64)

@@ -118,3 +118,35 @@ def test_bucket_cap_none_is_exact_and_stats_observable(spark):
     assert stats["hot_buckets"] >= 0 and stats["hot_rows"] >= 0
     big = dd.hot_bucket_stats(banded, cap=100000)
     assert big == {"hot_buckets": 0, "hot_rows": 0}
+
+
+def test_minhash_mersenne_fold_matches_modulo():
+    """The lane loop's Mersenne shift-add reduction must be bit-identical
+    to the integer remainder it replaced, for every coefficient lane and
+    boundary hash values (0, 1, p-1, multiples of p)."""
+    import numpy as np
+    import pandas as pd
+
+    from codem_spark.operators.dedup import _MH_PRIME, _mh_coeffs, _minhash_matrix
+
+    p = _MH_PRIME
+    coeffs = _mh_coeffs(64)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    rng = np.random.default_rng(5)
+    rows = [
+        rng.integers(-(1 << 62), 1 << 62, 37).tolist(),
+        [0, 1, p - 1, p, p + 1, 2 * p, -1, -p],
+        [],
+        rng.integers(0, p, 211).tolist(),
+    ]
+    got = _minhash_matrix(pd.Series(rows), a_vec, b_vec)
+    # reference: plain modular arithmetic per row/lane
+    for r, row in enumerate(rows):
+        if not row:
+            assert (got[r] == p).all()
+            continue
+        hp = np.asarray(row, dtype=np.int64) % p
+        for lane in range(64):
+            ref = ((hp * a_vec[lane] + b_vec[lane]) % p).min()
+            assert got[r, lane] == ref, (r, lane)
