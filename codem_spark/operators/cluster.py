@@ -194,21 +194,48 @@ def euclidean_cluster(
     if len(bp) <= driver_cc_max_edges:
         bpts = bp[["x", "y", "z"]].to_numpy(np.float64)
         blab = bp["lab"].to_numpy(np.int64)
+        nb = len(bp)
+        rix = np.arange(nb)
+
         # exclude_same_group: same-label border pairs (the dense within-blob
         # bulk) are rejected by an integer compare at candidate level —
-        # only genuinely cross-component candidates pay the 3-D distance
-        bi, bj, _d, _rk = knn.grid_topk(
-            bpts,
-            bpts,
-            np.arange(len(bp)),
-            tolerance,
-            k=None,
-            unordered_pairs=True,
-            exclude_same_group=(blab, blab),
-        )
+        # only genuinely cross-component candidates pay the 3-D distance.
+        # Large border bands are split into left-slices across driver
+        # threads (numpy releases the GIL on the bulk ops; l_offset keeps
+        # the candidate-level unordered mask exact per slice, so the union
+        # of slice outputs IS the single-call pair set).
+        def _edge_slice(s: int, e: int) -> tuple[np.ndarray, np.ndarray]:
+            bi, bj, _d, _rk = knn.grid_topk(
+                bpts[s:e],
+                bpts,
+                rix,
+                tolerance,
+                k=None,
+                unordered_pairs=True,
+                exclude_same_group=(blab[s:e], blab),
+                l_offset=s,
+            )
+            return blab[bi + s], blab[bj]
+
+        nthr = min(8, max(1, nb // 65536))
+        if nthr <= 1:
+            ea_np, eb_np = _edge_slice(0, nb)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            bounds = np.linspace(0, nb, nthr + 1).astype(np.int64)
+            with ThreadPoolExecutor(nthr) as pool:
+                parts = list(
+                    pool.map(
+                        lambda i: _edge_slice(int(bounds[i]), int(bounds[i + 1])),
+                        range(nthr),
+                    )
+                )
+            ea_np = np.concatenate([p[0] for p in parts])
+            eb_np = np.concatenate([p[1] for p in parts])
         # duplicates are fine: components_np is idempotent over repeated
         # edges, and the arrays are already in memory
-        edges_np = (blab[bi], blab[bj])
+        edges_np = (ea_np, eb_np)
     else:
         # unordered_ids: each cross-tile pair is generated in both
         # orientations (once per endpoint's home tile) and same-label pairs

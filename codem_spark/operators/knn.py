@@ -117,6 +117,13 @@ def grid_topk(
     # the candidate volume (every within-blob pair), so one integer compare
     # replaces the 3-D distance evaluation for ~all of them.
     exclude_same_group: tuple[np.ndarray, np.ndarray] | None = None,
+    # l_offset (unordered_pairs mode): lpts is the contiguous slice
+    # rpts[l_offset : l_offset + n_l] — the unordered mask compares global
+    # indices (ri > li + l_offset), so a caller can split the left side
+    # into slices (e.g. across driver threads) and the union of the slice
+    # outputs is exactly the single-call unordered pair set. Returned left
+    # indices stay slice-local.
+    l_offset: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized radius-bounded (top-k or all-pairs) neighbor search.
 
@@ -221,7 +228,7 @@ def grid_topk(
         ri_glob = rorder[ri_sorted_idx]
         if unordered_pairs or exclude_same_group is not None:
             if unordered_pairs:
-                keep = ri_glob > li_rep
+                keep = ri_glob > li_rep + l_offset if l_offset else ri_glob > li_rep
                 if exclude_same_group is not None:
                     lg, rg = exclude_same_group
                     keep &= lg[li_rep] != rg[ri_glob]
